@@ -1,0 +1,115 @@
+"""Stochastic reconfiguration (natural-gradient) optimizers.
+
+Second-order updates from classical and quantum Fisher information matrices.
+Capability parity with reference src/sr.py (fisher_sr, hybrid_fisher_sr) with
+the same numerics (score outer products, mean-score centering of the quantum
+Fisher, damping, dense solve, per-block trust-region scaling, negated update),
+but a clean typed API: Fisher matrices flow through an explicit
+``extra_args``/state argument instead of being smuggled through the optax
+``params`` slot (the reference documents this abuse at src/sr.py:23-27,87-91).
+
+TPU notes: the Fisher build is a (batch x P)^T (batch x P) GEMM — MXU work —
+and the contraction over a mesh-sharded batch axis lowers to a psum
+automatically under jit.  The dense P x P solves (P ~ 1e3-1e4) run on device;
+on TPU they are f32 — validated against f64 CPU within test tolerances.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["fisher_sr", "hybrid_fisher_sr", "FisherSR", "HybridFisherSR"]
+
+
+def _ravel_batch(scores):
+    """Per-sample pytree scores -> (batch, P) matrix."""
+    return jax.vmap(lambda tree: ravel_pytree(tree)[0])(scores)
+
+
+def _solve_scaled(fisher, grads_raveled, damping, max_norm):
+    """Damped dense solve + trust-region scaling; returns the *negated* step."""
+    fisher = fisher + damping * jnp.eye(fisher.shape[0], dtype=fisher.dtype)
+    updates = jax.scipy.linalg.solve(fisher, grads_raveled, assume_a="pos")
+    gnorm = jnp.sum(grads_raveled * updates)
+    scale = jnp.minimum(jnp.sqrt(max_norm / gnorm), 1.0)
+    return -scale * updates
+
+
+class FisherSR(NamedTuple):
+    """Classical-only SR (natural gradient); optax-like init/update pair."""
+
+    init: Any
+    update: Any
+
+
+def fisher_sr(score_fn, damping, max_norm) -> FisherSR:
+    """SR for the classical VAN alone (used by free-fermion pretraining).
+
+    ``score_fn(params, state_indices)`` returns per-sample score pytrees.
+    ``update(grads, state, params, state_indices)`` returns (updates, state).
+    """
+
+    def init_fn(params):
+        return ()
+
+    def update_fn(grads, state, params, state_indices):
+        grads_raveled, unravel = ravel_pytree(grads)
+        score = _ravel_batch(score_fn(params, state_indices))
+        batch = score.shape[0]
+        # Mean over the (sharded) global batch: psum under jit.
+        fisher = score.T @ score / batch
+        updates = unravel(_solve_scaled(fisher, grads_raveled, damping, max_norm))
+        return updates, state
+
+    return FisherSR(init_fn, update_fn)
+
+
+class HybridFisherSR(NamedTuple):
+    """Joint classical+quantum SR: fishers builder + init/update pair."""
+
+    fishers: Any
+    init: Any
+    update: Any
+
+
+def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) -> HybridFisherSR:
+    """Hybrid SR over (params_van, params_flow).
+
+    ``fishers(params_van, params_flow, state_indices, x)`` returns
+    (classical_fisher, quantum_fisher, quantum_score_mean), each a global
+    batch average (accumulated across grad-accumulation steps by the driver).
+    ``update(grads, state, fishers)`` consumes them explicitly.
+    """
+
+    def fishers_fn(params_van, params_flow, state_indices, x):
+        classical_score = _ravel_batch(classical_score_fn(params_van, state_indices))
+        quantum_score = _ravel_batch(quantum_score_fn(x, params_flow, state_indices))
+        batch = classical_score.shape[0]
+
+        classical_fisher = classical_score.T @ classical_score / batch
+        quantum_fisher = (quantum_score.conj().T @ quantum_score).real / batch
+        quantum_score_mean = quantum_score.mean(axis=0)
+        return classical_fisher, quantum_fisher, quantum_score_mean
+
+    def init_fn(params):
+        return ()
+
+    def update_fn(grads, state, fishers):
+        grad_van, grad_flow = grads
+        classical_fisher, quantum_fisher, quantum_score_mean = fishers
+        # Center the quantum Fisher: subtract the mean-score outer product.
+        quantum_fisher = quantum_fisher - (
+            quantum_score_mean.conj()[:, None] * quantum_score_mean
+        ).real
+
+        gv, unravel_van = ravel_pytree(grad_van)
+        gf, unravel_flow = ravel_pytree(grad_flow)
+        update_van = unravel_van(_solve_scaled(classical_fisher, gv, damping, max_norm))
+        update_flow = unravel_flow(_solve_scaled(quantum_fisher, gf, damping, max_norm))
+        return (update_van, update_flow), state
+
+    return HybridFisherSR(fishers_fn, init_fn, update_fn)

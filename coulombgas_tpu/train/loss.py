@@ -1,0 +1,85 @@
+"""Observables and REINFORCE loss functions for the joint VMC objective.
+
+F = E_p[ log p / beta + <E_loc>_Psi ] minimized over both the classical VAN
+and the quantum flow.  Capability parity with reference src/VMC.py:31-80.
+
+Global-batch design: all means are plain ``jnp.mean`` over the full (possibly
+mesh-sharded) batch axis — under jit with a batch-sharded input XLA lowers
+them to ICI all-reduces, replacing the reference's explicit
+``jax.lax.pmean(..., axis_name="p")`` plumbing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.ewald import potential_energy
+
+__all__ = ["make_loss"]
+
+
+def make_loss(log_prob, logpsi, logpsi_grad_laplacian, kappa, G, L, rs, Vconst, beta, clip_factor=5.0):
+    """Build the observable/loss evaluator.
+
+    Args:
+      log_prob: batched VAN log-probability (params_van, (batch, n)) -> (batch,).
+      logpsi: batched complex log Psi (x, params_flow, state_indices) -> (batch,).
+      logpsi_grad_laplacian: batched derivative engine (see wavefunction.logpsi).
+      kappa, G, L, rs, Vconst, beta: Ewald/physics constants; Vconst is the
+        Madelung term n*rs/L*madelung(...) added to every potential sample.
+      clip_factor: total-variation clipping width for the REINFORCE weights.
+
+    Returns ``observable_and_lossfn(params_van, params_flow, state_indices,
+    x, key) -> (observables dict, classical_lossfn, quantum_lossfn)``; each
+    loss closure returns (loss, mean score) — the mean score supports the
+    baseline correction applied by the training driver.
+    """
+
+    def observable_and_lossfn(params_van, params_flow, state_indices, x, key):
+        logp_states = log_prob(params_van, state_indices)
+        grad, laplacian = logpsi_grad_laplacian(x, params_flow, state_indices, key)
+
+        kinetic = -laplacian - (grad**2).sum(axis=(-2, -1))
+        potential = potential_energy(x, kappa, G, L, rs) + Vconst
+        Eloc = kinetic + potential
+        Floc = logp_states / beta + Eloc.real
+
+        observable = {
+            "K_mean": kinetic.real.mean(),
+            "K2_mean": (kinetic.real**2).mean(),
+            "V_mean": potential.mean(),
+            "V2_mean": (potential**2).mean(),
+            "E_mean": Eloc.real.mean(),
+            "E2_mean": (Eloc.real**2).mean(),
+            "F_mean": Floc.mean(),
+            "F2_mean": (Floc**2).mean(),
+            "S_mean": -logp_states.mean(),
+            "S2_mean": (logp_states**2).mean(),
+        }
+        F_mean, E_mean = observable["F_mean"], observable["E_mean"]
+
+        def classical_lossfn(params_van):
+            logp = log_prob(params_van, state_indices)
+            tv = jnp.abs(Floc - F_mean).mean()
+            Floc_clipped = jnp.clip(Floc, F_mean - clip_factor * tv, F_mean + clip_factor * tv)
+            gradF_phi = (logp * Floc_clipped).mean()
+            classical_score = logp.mean()
+            return gradF_phi, classical_score
+
+        def quantum_lossfn(params_flow):
+            logpsix = logpsi(x, params_flow, state_indices)
+            tv = jnp.abs(Eloc - E_mean).mean()
+            lo, hi = E_mean - clip_factor * tv, E_mean + clip_factor * tv
+            # complex-safe clip on the real part (jnp.clip rejects complex):
+            # samples outside the window collapse to the real bound.
+            Eloc_clipped = jnp.where(
+                Eloc.real < lo, lo + 0j, jnp.where(Eloc.real > hi, hi + 0j, Eloc)
+            )
+            gradF_theta = 2 * (logpsix * Eloc_clipped.conj()).real.mean()
+            quantum_score = 2 * logpsix.real.mean()
+            return gradF_theta, quantum_score
+
+        return observable, classical_lossfn, quantum_lossfn
+
+    return observable_and_lossfn

@@ -1,0 +1,128 @@
+"""Stage-1 free-fermion pretraining of the VAN (the end-to-end oracle slice).
+
+Trains the autoregressive occupation model alone against the non-interacting
+spectrum: loss E[logp * (F - F_mean)] with F = logp/beta + E(k), optionally
+with classical-Fisher SR.  Validated against the exact mpmath canonical
+analytics printed at start.  Capability parity with reference
+src/freefermion/pretraining.py:9-108, rebuilt on the global-batch mesh style.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..analytic.canonical import Z_E, box_parameters
+from ..io.logging import ObservableLog
+from ..models.transformer import TransformerConfig, init_transformer_params
+from ..optim.sr import fisher_sr
+from ..parallel.mesh import batch_spec, make_mesh, replicated_spec
+from ..physics.orbitals import sp_orbitals, twist_sort
+from ..sampling.autoregressive import make_autoregressive_sampler, make_classical_score
+
+__all__ = ["make_freefermion_loss", "pretrain"]
+
+
+def make_freefermion_loss(log_prob, Es, beta):
+    """REINFORCE loss for the non-interacting system (exact per-state E)."""
+
+    def loss_fn(params, state_indices):
+        logp = log_prob(params, state_indices)
+        E = Es[state_indices].sum(axis=-1)
+        F = jax.lax.stop_gradient(logp / beta + E)
+
+        aux = {
+            "E_mean": E.mean(), "E_std": E.std(),
+            "F_mean": F.mean(), "F_std": F.std(),
+            "S_mean": -logp.mean(), "S_std": logp.std(),
+        }
+        gradF = (logp * (F - aux["F_mean"])).mean()
+        return gradF, aux
+
+    return loss_fn
+
+
+def pretrain(
+    cfg: TransformerConfig,
+    params_van,
+    n, dim, Theta, Emax, twist,
+    path, key,
+    lr, sr, damping, max_norm,
+    batch, epoch=10000,
+    mesh=None, dtype=None,
+    check_analytic=True, dps=600,
+    log_every=1,
+):
+    """Train the VAN on free fermions; returns the trained parameters.
+
+    Writes the 6-column data.txt log into ``path``; when ``check_analytic``
+    the exact F/E/S are computed with the mpmath oracle and printed first.
+    """
+    L, beta = (float(v) for v in box_parameters(n, dim, Theta))
+    if dtype is None:
+        dtype = params_van["x1hat"].dtype  # follow the model precision
+
+    sp_indices, _ = sp_orbitals(dim, Emax)
+    sp_indices_twist, Es_twist = twist_sort(sp_indices, twist)
+    # Highest-energy states first, like the reference (main.py:90): the VAN
+    # sees the (almost always empty) high tail at small indices where the
+    # ordered-occupation band mask prunes hardest.
+    sp_indices_twist = jnp.asarray(sp_indices_twist[::-1].copy(), dtype)
+    Es_twist = (2 * jnp.pi / L) ** 2 * jnp.asarray(Es_twist[::-1].copy(), dtype)
+
+    if check_analytic:
+        from mpmath import mp, mpf
+
+        F, E, S = Z_E(n, dim, mpf(str(Theta)), [mpf(str(t)) for t in np.asarray(twist)],
+                      Emax, dps=dps)
+        print(
+            "Analytic results for the thermodynamic quantities: "
+            "F: %s, E: %s, S: %s" % (mp.nstr(F), mp.nstr(E), mp.nstr(S))
+        )
+
+    num_states = Es_twist.size
+    sampler, log_prob_novmap = make_autoregressive_sampler(cfg, sp_indices_twist, n, num_states)
+    log_prob = jax.vmap(log_prob_novmap, (None, 0), 0)
+    loss_fn = make_freefermion_loss(log_prob, Es_twist, beta)
+
+    if sr:
+        score_fn = make_classical_score(log_prob_novmap)
+        optimizer = fisher_sr(score_fn, damping, max_norm)
+    else:
+        optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params_van)
+
+    mesh = mesh if mesh is not None else make_mesh()
+    rep = replicated_spec(mesh)
+    params_van = jax.device_put(params_van, rep)
+
+    @jax.jit
+    def update(params_van, opt_state, key):
+        key, subkey = jax.random.split(key)
+        state_indices = jax.lax.with_sharding_constraint(
+            sampler(params_van, subkey, batch), batch_spec(mesh)
+        )
+        grads, aux = jax.grad(loss_fn, argnums=0, has_aux=True)(params_van, state_indices)
+        if sr:
+            updates, new_opt_state = optimizer.update(grads, opt_state, params_van, state_indices)
+        else:
+            updates, new_opt_state = optimizer.update(grads, opt_state)
+        params_van = optax.apply_updates(params_van, updates)
+        return params_van, new_opt_state, key, aux
+
+    log = ObservableLog(path)
+    sqrtb = float(np.sqrt(batch))
+    for i in range(1, epoch + 1):
+        params_van, opt_state, key, aux = update(params_van, opt_state, key)
+        if i % log_every == 0:
+            a = jax.device_get(aux)
+            log.write_pretrain(
+                i,
+                float(a["F_mean"]), float(a["F_std"]) / sqrtb,
+                float(a["E_mean"]), float(a["E_std"]) / sqrtb,
+                float(a["S_mean"]), float(a["S_std"]) / sqrtb,
+            )
+    log.close()
+    return params_van
