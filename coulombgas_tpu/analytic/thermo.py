@@ -22,7 +22,15 @@ def thermo_quantities(dim: int, Theta, dps: int = 50):
     mp.dps = dps
     d = mpf(dim)
     Theta = mpf(str(Theta))
-    z = mp.findroot(lambda z: mp.gamma(d / 2 + 1) * mp.polylog(d / 2, -z) * Theta ** (d / 2) + 1, 10)
+    if dim == 2:
+        # closed form: -Li_1(-z) = log(1+z), so log(1+z)*Theta = 1.
+        z = mp.expm1(1 / Theta)
+    else:
+        # Sommerfeld guess log z ~ 1/Theta keeps findroot stable at low T.
+        z0 = mp.exp(1 / Theta)
+        z = mp.findroot(
+            lambda z: mp.gamma(d / 2 + 1) * mp.polylog(d / 2, -z) * Theta ** (d / 2) + 1, z0
+        )
     eps_F = 4 * mp.gamma(d / 2 + 1) ** (4 / d)
     ratio = mp.polylog(d / 2 + 1, -z) / mp.polylog(d / 2, -z)
     e = d / 2 * ratio * Theta * eps_F

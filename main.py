@@ -1,0 +1,347 @@
+"""Finite-temperature VMC for the homogeneous electron gas — training driver.
+
+TPU-native rebuild of the reference CLI (reference main.py): identical flag
+surface, run-directory naming and data.txt format, with the compute path
+redesigned for TPU:
+
+  * one jitted global-batch program over a 1-D ``Mesh(('dp',))`` — batch
+    arrays sharded over devices, parameters replicated; collectives are
+    inserted by XLA over ICI (no pmap, no explicit pmean);
+  * f32/c64 on TPU (f64 on CPU), validated against the mpmath oracle;
+  * KV-cached O(n) autoregressive sampling;
+  * accumulate/apply split so the big AD graph compiles once.
+
+Example (demo config, reference README):
+  python main.py --n 13 --dim 2 --rs 10.0 --Theta 0.15 --Emax 25 \
+      --batch 256 --epoch 100 --acc_steps 1 --folder /tmp/coulombgas/
+"""
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Finite-temperature VMC for the homogeneous electron gas (TPU-native)"
+    )
+    parser.add_argument("--folder", default="./data/", help="the folder to save data")
+
+    # physical parameters
+    parser.add_argument("--n", type=int, default=29, help="total number of electrons")
+    parser.add_argument("--dim", type=int, default=2, help="spatial dimension")
+    parser.add_argument("--rs", type=float, default=10.0, help="rs")
+    parser.add_argument("--Theta", type=float, default=0.15, help="dimensionless temperature T/Ef")
+    parser.add_argument("--twist", type=float, nargs="+", default=[1 / 4, 1 / 4],
+                        help="(scaled) twist angle in [-1/2, 1/2]^dim")
+
+    # autoregressive transformer
+    parser.add_argument("--Emax", type=int, default=25, help="single-particle energy cutoff")
+    parser.add_argument("--nlayers", type=int, default=2)
+    parser.add_argument("--modelsize", type=int, default=16)
+    parser.add_argument("--nheads", type=int, default=4)
+    parser.add_argument("--nhidden", type=int, default=32)
+
+    # normalizing flow
+    parser.add_argument("--depth", type=int, default=2)
+    parser.add_argument("--spsize", type=int, default=16)
+    parser.add_argument("--tpsize", type=int, default=16)
+
+    # Ewald
+    parser.add_argument("--Gmax", type=int, default=15)
+    parser.add_argument("--kappa", type=int, default=10)
+
+    # MCMC
+    parser.add_argument("--mc_therm", type=int, default=10)
+    parser.add_argument("--mc_steps", type=int, default=50)
+    parser.add_argument("--mc_stddev", type=float, default=0.1)
+
+    # technical
+    parser.add_argument("--hutchinson", action="store_true",
+                        help="Hutchinson estimate of the flow-Jacobian Laplacian")
+    parser.add_argument("--forloop_laplacian", action="store_true",
+                        help="sequential Hessian columns (less memory) instead of batched")
+
+    # optimizer
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--sr", action="store_true", help="stochastic reconfiguration")
+    parser.add_argument("--damping", type=float, default=1e-3)
+    parser.add_argument("--max_norm", type=float, default=1e-3)
+
+    # training
+    parser.add_argument("--batch", type=int, default=2048,
+                        help="batch size per gradient-accumulation step (global)")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="devices in the mesh (0 = all visible)")
+    parser.add_argument("--acc_steps", type=int, default=4)
+    parser.add_argument("--epoch_finished", type=int, default=0)
+    parser.add_argument("--epoch", type=int, default=3000)
+    parser.add_argument("--ckpt_every", type=int, default=100)
+
+    # pretraining
+    parser.add_argument("--pre_batch", type=int, default=8192)
+    parser.add_argument("--pre_epoch", type=int, default=5000)
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from coulombgas_tpu.config import default_precision
+
+    prec = default_precision()
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    import coulombgas_tpu as cg
+    from coulombgas_tpu.io.checkpoint import (
+        ckpt_filename, load_data, pretrained_model_filename, save_data, to_host,
+    )
+    from coulombgas_tpu.io.logging import ObservableLog, stderr_from_moments
+    from coulombgas_tpu.parallel.mesh import (
+        batch_spec, make_mesh, replicate, replicated_spec, shard_batch,
+    )
+    from coulombgas_tpu.train.loss import make_loss
+    from coulombgas_tpu.train.train import (
+        init_accumulators, make_accumulate_and_apply, make_sample_step,
+    )
+
+    rdtype = prec.real
+    print("jax", jax.__version__, "backend:", jax.default_backend(), "precision:", rdtype)
+    key = jax.random.PRNGKey(42)
+
+    n, dim = args.n, args.dim
+    if dim == 3:
+        L = (4 / 3 * np.pi * n) ** (1 / 3)
+        beta = 1 / ((4.5 * np.pi) ** (2 / 3) * args.Theta)
+    elif dim == 2:
+        L = float(np.sqrt(np.pi * n))
+        beta = 1 / (4 * args.Theta)
+    else:
+        raise ValueError("dim must be 2 or 3")
+    print("n = %d, dim = %d, L = %f" % (n, dim, L))
+    twist = np.array(args.twist)
+
+    # ---- single-particle orbitals --------------------------------------
+    sp_indices, Es = cg.sp_orbitals(dim, args.Emax)
+    num_states = Es.size
+    print("Number of available single-particle orbitals: %d" % num_states)
+    sp_indices_twist, Es_twist = cg.twist_sort(sp_indices, twist)
+    # highest-energy states first (empty tail at small indices)
+    sp_indices_twist = jnp.asarray(sp_indices_twist[::-1].copy(), rdtype)
+
+    # ---- VAN ------------------------------------------------------------
+    van_cfg = cg.TransformerConfig(num_states, args.nlayers, args.modelsize,
+                                   args.nheads, args.nhidden)
+    params_van = cg.init_transformer_params(key, van_cfg, dim, rdtype)
+    print("#parameters in the autoregressive model: %d" % ravel_pytree(params_van)[0].size)
+
+    sampler, log_prob_novmap = cg.make_autoregressive_sampler(
+        van_cfg, sp_indices_twist, n, num_states
+    )
+    log_prob = jax.vmap(log_prob_novmap, (None, 0), 0)
+
+    # ---- pretraining ------------------------------------------------------
+    pre_sr, pre_damping, pre_maxnorm, pre_lr = True, 0.001, 0.001, 1e-3
+    freefermion_path = os.path.join(
+        args.folder,
+        "freefermion", "pretraining",
+        "n_%d_dim_%d_Theta_%.2f_Emax_%d" % (n, dim, args.Theta, args.Emax)
+        + ("_twist" + "_%.3f" * dim) % tuple(twist),
+        "nlayers_%d_modelsize_%d_nheads_%d_nhidden_%d" % (
+            args.nlayers, args.modelsize, args.nheads, args.nhidden)
+        + ("_damping_%.5f_maxnorm_%.5f" % (pre_damping, pre_maxnorm)
+           if pre_sr else "_lr_%.3f" % pre_lr)
+        + "_batch_%d" % args.pre_batch,
+    )
+    os.makedirs(freefermion_path, exist_ok=True)
+    pre_fname = pretrained_model_filename(freefermion_path)
+    if os.path.isfile(pre_fname):
+        print("Load pretrained free-fermion model:", pre_fname)
+        params_van = jax.tree.map(lambda a: jnp.asarray(a, rdtype), load_data(pre_fname))
+    else:
+        print("No pretrained model found; running free-fermion pretraining...")
+        from coulombgas_tpu.train.pretrain import pretrain
+
+        params_van = pretrain(
+            van_cfg, params_van, n, dim, args.Theta, args.Emax, twist,
+            freefermion_path, key,
+            pre_lr, pre_sr, pre_damping, pre_maxnorm,
+            args.pre_batch, epoch=args.pre_epoch,
+        )
+        save_data(params_van, pre_fname)
+        print("Pretraining done; saved to", pre_fname)
+
+    # ---- flow + logpsi ----------------------------------------------------
+    flow_cfg = cg.FermiNetConfig(args.depth, args.spsize, args.tpsize, L)
+    params_flow = cg.init_ferminet_params(key, flow_cfg, dim, rdtype)
+    print("#parameters in the flow model: %d" % ravel_pytree(params_flow)[0].size)
+
+    flow_apply = lambda p, x: cg.ferminet_apply(p, flow_cfg, x)
+    logpsi_novmap = cg.make_logpsi(flow_apply, sp_indices_twist, L)
+    logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
+    logp = cg.make_logp(logpsi_novmap)
+
+    # ---- Ewald -------------------------------------------------------------
+    G = jnp.asarray(cg.kpoints(dim, args.Gmax), rdtype)
+    Vconst = n * args.rs / L * cg.madelung(dim, args.kappa, G)
+    print("(scaled) Vconst:", float(Vconst) / (n * args.rs / L))
+
+    # ---- optimizer -----------------------------------------------------------
+    import optax
+
+    from coulombgas_tpu.optim.sr import hybrid_fisher_sr
+
+    if args.sr:
+        classical_score_fn = cg.make_classical_score(log_prob_novmap)
+        quantum_score_fn = cg.make_quantum_score(logpsi_novmap)
+        sr_opt = hybrid_fisher_sr(classical_score_fn, quantum_score_fn,
+                                  args.damping, args.max_norm)
+        optimizer = None
+        opt_state = sr_opt.init((params_van, params_flow))
+        print("Optimizer hybrid_fisher_sr: damping = %.5f, max_norm = %.5f"
+              % (args.damping, args.max_norm))
+    else:
+        sr_opt = None
+        optimizer = optax.adam(args.lr)
+        opt_state = optimizer.init((params_van, params_flow))
+        print("Optimizer adam: lr = %.3f" % args.lr)
+
+    # ---- mesh ---------------------------------------------------------------
+    mesh = make_mesh(num_devices=args.num_devices or None)
+    num_devices = mesh.devices.size
+    print("Mesh:", mesh)
+    if args.batch % num_devices != 0:
+        raise ValueError("batch (%d) must be divisible by mesh size (%d)"
+                         % (args.batch, num_devices))
+    bspec, rspec = batch_spec(mesh), replicated_spec(mesh)
+
+    # ---- run directory / checkpoint ----------------------------------------
+    path = os.path.join(
+        args.folder,
+        "n_%d_dim_%d_rs_%.1f_Theta_%.2f" % (n, dim, args.rs, args.Theta)
+        + "_Emax_%d" % args.Emax
+        + ("_twist" + "_%.3f" * dim) % tuple(twist)
+        + "_nlayers_%d_modelsize_%d_nheads_%d_nhidden_%d" % (
+            args.nlayers, args.modelsize, args.nheads, args.nhidden)
+        + "_depth_%d_spsize_%d_tpsize_%d" % (args.depth, args.spsize, args.tpsize)
+        + "_Gmax_%d_kappa_%d" % (args.Gmax, args.kappa)
+        + "_mctherm_%d_mcsteps_%d_mcstddev_%.2f" % (args.mc_therm, args.mc_steps, args.mc_stddev)
+        + ("_hutchinson" if args.hutchinson else "")
+        + ("_damping_%.5f_maxnorm_%.5f" % (args.damping, args.max_norm)
+           if args.sr else "_lr_%.3f" % args.lr)
+        + "_batch_%d_ndevices_%d_accsteps_%d" % (args.batch, num_devices, args.acc_steps),
+    )
+    os.makedirs(path, exist_ok=True)
+    print("Run directory:", path)
+
+    # ---- training programs --------------------------------------------------
+    sample_step = make_sample_step(sampler, logp, args.mc_steps, args.mc_stddev, L, args.batch)
+    sample_jit = jax.jit(
+        sample_step,
+        in_shardings=(rspec, rspec, bspec, None),
+        out_shardings=(bspec, bspec, None),
+        donate_argnums=(2,),
+    )
+
+    logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(
+        logpsi_novmap,
+        forloop=args.forloop_laplacian,
+        hutchinson=args.hutchinson,
+        logphi=logphi,
+        logjacdet=logjacdet,
+    )
+    observable_and_lossfn = make_loss(
+        log_prob, logpsi, logpsi_grad_laplacian,
+        args.kappa, G, L, args.rs, Vconst, beta,
+    )
+    accumulate, apply_update = make_accumulate_and_apply(
+        observable_and_lossfn, optimizer, args.acc_steps, sr_opt
+    )
+    accumulate_jit = jax.jit(
+        accumulate,
+        in_shardings=(rspec, rspec, bspec, bspec, None, rspec),
+        out_shardings=rspec,
+        donate_argnums=(5,),
+    )
+    # NOTE: no donation here — the accumulators have no same-shaped outputs
+    # and XLA rejects the param aliases across the optimizer update anyway.
+    apply_jit = jax.jit(apply_update)
+
+    # ---- restore or initialize walkers --------------------------------------
+    load_ckpt = ckpt_filename(args.epoch_finished, path)
+    if os.path.isfile(load_ckpt):
+        print("Load checkpoint:", load_ckpt)
+        ckpt = load_data(load_ckpt)
+        key = jnp.asarray(ckpt["key"])
+        x = shard_batch(jnp.asarray(ckpt["x"], rdtype), mesh)
+        params_van = replicate(jax.tree.map(lambda a: jnp.asarray(a, rdtype),
+                                            ckpt["params_van"]), mesh)
+        params_flow = replicate(jax.tree.map(lambda a: jnp.asarray(a, rdtype),
+                                             ckpt["params_flow"]), mesh)
+        opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+    else:
+        print("No checkpoint found. Starting from scratch; thermalizing...")
+        key, subkey = jax.random.split(key)
+        x = jax.random.uniform(subkey, (args.batch, n, dim), rdtype, 0.0, L)
+        x = shard_batch(x, mesh)
+        params_van = replicate(params_van, mesh)
+        params_flow = replicate(params_flow, mesh)
+        for i in range(args.mc_therm):
+            t0 = time.time()
+            key, subkey = jax.random.split(key)
+            state_indices, x, accept_rate = sample_jit(params_van, params_flow, x, subkey)
+            accept_rate.block_until_ready()
+            print("---- thermal step %d  accept %.4f  (%.3f s) ----"
+                  % (i + 1, float(accept_rate), time.time() - t0))
+
+    # ---- training loop ---------------------------------------------------------
+    log = ObservableLog(path, resume=args.epoch_finished > 0)
+    total_batch = args.batch * args.acc_steps
+
+    for i in range(args.epoch_finished + 1, args.epoch + 1):
+        acc = replicate(init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
+        accept_rate_acc = 0.0
+        for _ in range(args.acc_steps):
+            key, k_sample, k_update = jax.random.split(key, 3)
+            state_indices, x, accept_rate = sample_jit(params_van, params_flow, x, k_sample)
+            accept_rate_acc += float(accept_rate)
+            acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
+        params_van, params_flow, opt_state, data = apply_jit(
+            params_van, params_flow, opt_state, acc
+        )
+
+        d = {k: float(v) for k, v in data.items()}
+        rs2 = args.rs**2
+        log.write_train(
+            i,
+            d["F_mean"] / rs2, stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) / rs2,
+            d["E_mean"] / rs2, stderr_from_moments(d["E_mean"], d["E2_mean"], total_batch) / rs2,
+            d["K_mean"] / rs2, stderr_from_moments(d["K_mean"], d["K2_mean"], total_batch) / rs2,
+            d["V_mean"] / rs2, stderr_from_moments(d["V_mean"], d["V2_mean"], total_batch) / rs2,
+            d["S_mean"], stderr_from_moments(d["S_mean"], d["S2_mean"], total_batch),
+            accept_rate_acc / args.acc_steps,
+        )
+
+        if i % args.ckpt_every == 0:
+            ckpt = {
+                "key": to_host(key), "x": to_host(x),
+                "params_van": to_host(params_van), "params_flow": to_host(params_flow),
+                "opt_state": to_host(opt_state),
+            }
+            fname = ckpt_filename(i, path)
+            save_data(ckpt, fname)
+            print("Save checkpoint file:", fname)
+
+    log.close()
+
+
+if __name__ == "__main__":
+    main()
