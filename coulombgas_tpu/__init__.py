@@ -28,5 +28,23 @@ from .wavefunction.logpsi import (
     make_logpsi_grad_laplacian,
     make_quantum_score,
 )
+from .wavefunction.fast_laplacian import make_logpsi_grad_laplacian_analytic
+from .optim.sr import fisher_sr, hybrid_fisher_sr
+from .train.loss import make_loss
+from .train.train import init_accumulators, make_accumulate_and_apply, make_sample_step
+from .parallel.mesh import (
+    batch_spec,
+    host_gather,
+    make_mesh,
+    replicate,
+    replicated_spec,
+    shard_batch,
+)
+from .io.checkpoint import (
+    ckpt_filename,
+    load_data,
+    pretrained_model_filename,
+    save_data,
+)
 
 __version__ = "0.1.0"

@@ -25,6 +25,17 @@ import jax.numpy as jnp
 # be partitioned over the device mesh without materializing on one device.
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the AD graphs here are large and the TPU
+# compile path is slow, so executables are cached on disk across processes.
+_CACHE_DIR = os.environ.get(
+    "COULOMBGAS_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the flag
+    pass
+
 
 @dataclass(frozen=True)
 class Precision:

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc
 
-__all__ = ["kpoints", "madelung", "ewald_sum", "potential_energy", "Madelung", "psi"]
+__all__ = [
+    "kpoints", "madelung", "ewald_sum", "ewald_sum_pairs",
+    "potential_energy", "Madelung", "psi",
+]
 
 
 def kpoints(dim: int, Gmax: int) -> np.ndarray:
@@ -73,6 +76,16 @@ def ewald_sum(x, kappa, G) -> jnp.ndarray:
     ``0.5 * n * madelung(...)``) — same convention as reference
     src/potential.py:36-66.
 
+    The reciprocal sum uses the structure factor S(G) = sum_i e^{2 pi i G.u_i}:
+
+        sum_{i<j} cos(2 pi G . r_ij) = (|S(G)|^2 - n) / 2,
+
+    exact because G is integer (the minimum-image shift drops out of the
+    periodic cosine).  This is O(n * NG) where the reference's pair sum
+    (src/potential.py:52-62) is O(n^2 * NG), and the phase table is a single
+    (n x dim)(dim x NG) matmul on the MXU.  Differentially tested against the
+    dense pair implementation below.
+
     INPUT: x (n, dim) in the unit box; G (NG, dim) integer mesh.
     """
     n, dim = x.shape
@@ -92,15 +105,38 @@ def ewald_sum(x, kappa, G) -> jnp.ndarray:
     d = jnp.sqrt(jnp.where(iu, d2, 1.0))
     V_short = jnp.sum(jnp.where(iu, erfc(kappa * d) / d, 0.0))
 
-    # Long range: sum_G g_k * sum_{i<j} cos(2 pi G . r_ij) + g_0 * npairs.
-    # The (NG, n*n) phase table comes from one big matmul -> MXU.
+    # Long range via the structure factor.
+    Gnorm = jnp.linalg.norm(G, axis=-1)
+    g_k, g_0 = _gk_g0(dim, kappa, Gnorm)
+    theta = 2 * jnp.pi * (x @ G.T)  # (n, NG) phases — one MXU matmul
+    S2 = jnp.cos(theta).sum(axis=0) ** 2 + jnp.sin(theta).sum(axis=0) ** 2
+    npairs = n * (n - 1) // 2
+    V_long = jnp.sum(g_k * (S2 - n)) / 2 + g_0 * npairs
+
+    return V_short + V_long
+
+
+def ewald_sum_pairs(x, kappa, G) -> jnp.ndarray:
+    """Dense O(n^2 * NG) pair-sum evaluation of the reciprocal part.
+
+    Mathematically identical to ``ewald_sum`` (reference algorithm,
+    src/potential.py:36-66); kept as the differential-test oracle.
+    """
+    n, dim = x.shape
+    G = jnp.asarray(G, dtype=x.dtype)
+    rij = x[:, None, :] - x[None, :, :]
+    rij = rij - jnp.rint(rij)
+    iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    d2 = jnp.sum(rij**2, axis=-1)
+    d = jnp.sqrt(jnp.where(iu, d2, 1.0))
+    V_short = jnp.sum(jnp.where(iu, erfc(kappa * d) / d, 0.0))
+
     Gnorm = jnp.linalg.norm(G, axis=-1)
     g_k, g_0 = _gk_g0(dim, kappa, Gnorm)
     phases = 2 * jnp.pi * jnp.einsum("gd,ijd->gij", G, rij)
     pair_cos = jnp.sum(jnp.where(iu[None], jnp.cos(phases), 0.0), axis=(-2, -1))
     npairs = n * (n - 1) // 2
     V_long = jnp.sum(g_k * pair_cos) + g_0 * npairs
-
     return V_short + V_long
 
 

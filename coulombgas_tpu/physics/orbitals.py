@@ -66,6 +66,17 @@ def manybody_orbitals(n: int, dim: int, Ecut: int) -> tuple[np.ndarray, np.ndarr
     E0 = int(Es[:n].sum())
     Emax_tot = E0 + Ecut
 
+    # Native C++ enumeration when available (coulombgas_tpu/ops/native);
+    # the pure-Python DFS below is the fallback and the differential oracle.
+    from ..ops.native import enumerate_subsets
+
+    occ_native = enumerate_subsets(Es, n, Emax_tot)
+    if occ_native is not None:
+        totals = Es[occ_native].sum(axis=1)
+        order = np.argsort(totals, kind="stable")
+        occ_native, mb_Es = occ_native[order], totals[order]
+        return indices[occ_native, :], mb_Es
+
     # Suffix minima: cheapest way to place k particles strictly above slot i.
     # tail_min[i][k] = sum of the k smallest energies among Es[i:]; since Es is
     # sorted ascending this is just Es[i:i+k].sum().

@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.transformer import (
     TransformerConfig,
@@ -55,7 +56,10 @@ def make_autoregressive_sampler(
       log_prob(params, state_idx) -> scalar log p for one (n,) state.
     """
     M = num_states
-    sp_indices = jnp.asarray(sp_indices)
+    # Host numpy constant: baked into the jaxpr at trace time with no
+    # device->host fetch during lowering (device-array constants round-trip
+    # through the runtime, which is slow and fragile on remote TPU tunnels).
+    sp_indices = np.asarray(sp_indices)
 
     def _mask(state_idx):
         """(n, M) 0/1 mask of allowed states given the sampled prefix."""
@@ -65,7 +69,7 @@ def make_autoregressive_sampler(
 
     def _masked_logits(params, state_idx):
         """(n, M) logits with prohibited states at -inf-ish."""
-        tokens = sp_indices[state_idx]
+        tokens = jnp.asarray(sp_indices)[state_idx]
         logits = transformer_apply(params, cfg, tokens)
         return jnp.where(_mask(state_idx) > 0, logits, _NEG_INF)
 
@@ -94,7 +98,7 @@ def make_autoregressive_sampler(
             masked = jnp.where(_row_mask(i, prev[:, None]), logits, _NEG_INF)
             s_i = jax.random.categorical(key_i, masked, axis=-1).astype(jnp.int32)
             # Feed the chosen token to produce row i+1 logits (wasted at i=n-1).
-            next_logits, kc, vc = decode(sp_indices[s_i], i, kc, vc)
+            next_logits, kc, vc = decode(jnp.asarray(sp_indices)[s_i], i, kc, vc)
             return (next_logits, s_i, kc, vc), s_i
 
         keys = jax.random.split(key, n)

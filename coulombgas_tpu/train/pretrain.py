@@ -69,8 +69,8 @@ def pretrain(
     # Highest-energy states first, like the reference (main.py:90): the VAN
     # sees the (almost always empty) high tail at small indices where the
     # ordered-occupation band mask prunes hardest.
-    sp_indices_twist = jnp.asarray(sp_indices_twist[::-1].copy(), dtype)
-    Es_twist = (2 * jnp.pi / L) ** 2 * jnp.asarray(Es_twist[::-1].copy(), dtype)
+    sp_indices_twist = np.asarray(sp_indices_twist[::-1].copy(), dtype)
+    Es_twist = jnp.asarray((2 * np.pi / L) ** 2 * np.asarray(Es_twist[::-1].copy(), dtype), dtype)
 
     if check_analytic:
         from mpmath import mp, mpf

@@ -78,7 +78,12 @@ def init_accumulators(params_van, params_flow, sr: bool, real_dtype=None, comple
         p_flow = ravel_pytree(params_flow)[0].size
         acc["classical_fisher"] = jnp.zeros((p_van, p_van), real_dtype)
         acc["quantum_fisher"] = jnp.zeros((p_flow, p_flow), real_dtype)
-        acc["quantum_score_mean"] = jnp.zeros((p_flow,), complex_dtype)
+        # host numpy: eager creation of complex arrays is unsupported on some
+        # TPU runtimes (c64 broadcast_in_dim fails in the AOT compile helper);
+        # the array is transferred on first use instead.
+        import numpy as np
+
+        acc["quantum_score_mean"] = np.zeros((p_flow,), complex_dtype)
     return acc
 
 

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.slater import logslaterdet
 
@@ -43,11 +44,11 @@ def make_logpsi(flow_apply, sp_indices, L):
     ``flow_apply(params, x)`` is the normalizing flow; ``sp_indices`` the
     (M, dim) float array of twisted momenta indexed by ``state_idx``.
     """
-    sp_indices = jnp.asarray(sp_indices)
+    sp_indices = np.asarray(sp_indices)  # host constant (see autoregressive.py)
 
     def logpsi(x, params, state_idx):
         z = flow_apply(params, x)
-        log_phi = logslaterdet(sp_indices[state_idx], z, L)
+        log_phi = logslaterdet(jnp.asarray(sp_indices)[state_idx], z, L)
 
         n, dim = x.shape
         flow_flat = lambda xf: flow_apply(params, xf.reshape(n, dim)).reshape(-1)
@@ -60,11 +61,11 @@ def make_logpsi(flow_apply, sp_indices, L):
 
 def make_logphi_logjacdet(flow_apply, sp_indices, L):
     """Split version of make_logpsi: Slater term and Jacobian term separately."""
-    sp_indices = jnp.asarray(sp_indices)
+    sp_indices = np.asarray(sp_indices)
 
     def logphi(x, params, state_idx):
         z = flow_apply(params, x)
-        log_phi = logslaterdet(sp_indices[state_idx], z, L)
+        log_phi = logslaterdet(jnp.asarray(sp_indices)[state_idx], z, L)
         return jnp.stack([log_phi.real, log_phi.imag])
 
     def logjacdet(x, params):

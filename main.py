@@ -61,6 +61,9 @@ def parse_args(argv=None):
                         help="Hutchinson estimate of the flow-Jacobian Laplacian")
     parser.add_argument("--forloop_laplacian", action="store_true",
                         help="sequential Hessian columns (less memory) instead of batched")
+    parser.add_argument("--laplacian", choices=["analytic", "ad"], default="analytic",
+                        help="Slater-part Laplacian: closed-form plane-wave identities "
+                             "(fast path, O(dim n^3)) or generic forward-over-reverse AD")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -82,6 +85,8 @@ def parse_args(argv=None):
     parser.add_argument("--pre_batch", type=int, default=8192)
     parser.add_argument("--pre_epoch", type=int, default=5000)
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (TPU pod slices over DCN)")
     return parser.parse_args(argv)
 
 
@@ -92,6 +97,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        # One process per host on a pod slice; device mesh spans all chips.
+        jax.distributed.initialize()
 
     from coulombgas_tpu.config import default_precision
 
@@ -134,8 +142,9 @@ def main(argv=None):
     num_states = Es.size
     print("Number of available single-particle orbitals: %d" % num_states)
     sp_indices_twist, Es_twist = cg.twist_sort(sp_indices, twist)
-    # highest-energy states first (empty tail at small indices)
-    sp_indices_twist = jnp.asarray(sp_indices_twist[::-1].copy(), rdtype)
+    # highest-energy states first (empty tail at small indices); kept as a
+    # host numpy constant so jit lowering never round-trips the device
+    sp_indices_twist = np.asarray(sp_indices_twist[::-1].copy(), rdtype)
 
     # ---- VAN ------------------------------------------------------------
     van_cfg = cg.TransformerConfig(num_states, args.nlayers, args.modelsize,
@@ -190,8 +199,8 @@ def main(argv=None):
     logp = cg.make_logp(logpsi_novmap)
 
     # ---- Ewald -------------------------------------------------------------
-    G = jnp.asarray(cg.kpoints(dim, args.Gmax), rdtype)
-    Vconst = n * args.rs / L * cg.madelung(dim, args.kappa, G)
+    G = np.asarray(cg.kpoints(dim, args.Gmax), rdtype)
+    Vconst = float(n * args.rs / L * cg.madelung(dim, args.kappa, G))  # host scalar
     print("(scaled) Vconst:", float(Vconst) / (n * args.rs / L))
 
     # ---- optimizer -----------------------------------------------------------
@@ -251,13 +260,24 @@ def main(argv=None):
         donate_argnums=(2,),
     )
 
-    logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(
-        logpsi_novmap,
-        forloop=args.forloop_laplacian,
-        hutchinson=args.hutchinson,
-        logphi=logphi,
-        logjacdet=logjacdet,
-    )
+    if args.laplacian == "analytic":
+        from coulombgas_tpu.wavefunction.fast_laplacian import (
+            make_logpsi_grad_laplacian_analytic,
+        )
+
+        logpsi, _ = cg.make_logpsi_grad_laplacian(logpsi_novmap)
+        logpsi_grad_laplacian = make_logpsi_grad_laplacian_analytic(
+            flow_apply, sp_indices_twist, L,
+            hutchinson=args.hutchinson, forloop=args.forloop_laplacian,
+        )
+    else:
+        logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(
+            logpsi_novmap,
+            forloop=args.forloop_laplacian,
+            hutchinson=args.hutchinson,
+            logphi=logphi,
+            logjacdet=logjacdet,
+        )
     observable_and_lossfn = make_loss(
         log_prob, logpsi, logpsi_grad_laplacian,
         args.kappa, G, L, args.rs, Vconst, beta,
@@ -303,7 +323,8 @@ def main(argv=None):
                   % (i + 1, float(accept_rate), time.time() - t0))
 
     # ---- training loop ---------------------------------------------------------
-    log = ObservableLog(path, resume=args.epoch_finished > 0)
+    is_main = jax.process_index() == 0
+    log = ObservableLog(path, resume=args.epoch_finished > 0) if is_main else None
     total_batch = args.batch * args.acc_steps
 
     for i in range(args.epoch_finished + 1, args.epoch + 1):
@@ -320,17 +341,18 @@ def main(argv=None):
 
         d = {k: float(v) for k, v in data.items()}
         rs2 = args.rs**2
-        log.write_train(
-            i,
-            d["F_mean"] / rs2, stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) / rs2,
-            d["E_mean"] / rs2, stderr_from_moments(d["E_mean"], d["E2_mean"], total_batch) / rs2,
-            d["K_mean"] / rs2, stderr_from_moments(d["K_mean"], d["K2_mean"], total_batch) / rs2,
-            d["V_mean"] / rs2, stderr_from_moments(d["V_mean"], d["V2_mean"], total_batch) / rs2,
-            d["S_mean"], stderr_from_moments(d["S_mean"], d["S2_mean"], total_batch),
-            accept_rate_acc / args.acc_steps,
-        )
+        if is_main:
+            log.write_train(
+                i,
+                d["F_mean"] / rs2, stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) / rs2,
+                d["E_mean"] / rs2, stderr_from_moments(d["E_mean"], d["E2_mean"], total_batch) / rs2,
+                d["K_mean"] / rs2, stderr_from_moments(d["K_mean"], d["K2_mean"], total_batch) / rs2,
+                d["V_mean"] / rs2, stderr_from_moments(d["V_mean"], d["V2_mean"], total_batch) / rs2,
+                d["S_mean"], stderr_from_moments(d["S_mean"], d["S2_mean"], total_batch),
+                accept_rate_acc / args.acc_steps,
+            )
 
-        if i % args.ckpt_every == 0:
+        if is_main and i % args.ckpt_every == 0:
             ckpt = {
                 "key": to_host(key), "x": to_host(x),
                 "params_van": to_host(params_van), "params_flow": to_host(params_flow),
@@ -340,7 +362,8 @@ def main(argv=None):
             save_data(ckpt, fname)
             print("Save checkpoint file:", fname)
 
-    log.close()
+    if log is not None:
+        log.close()
 
 
 if __name__ == "__main__":

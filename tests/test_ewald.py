@@ -9,6 +9,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from coulombgas_tpu import ewald_sum, kpoints, madelung, potential_energy
+from coulombgas_tpu.physics.ewald import ewald_sum_pairs
+
+
+def test_structure_factor_matches_pair_sum():
+    """O(n*NG) structure-factor form == O(n^2*NG) dense pair sum."""
+    import jax
+    import jax.numpy as jnp
+
+    for dim in (2, 3):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (9, dim), jnp.float64)
+        G = jnp.asarray(kpoints(dim, 12), jnp.float64)
+        a = float(ewald_sum(x, 10.0, G))
+        b = float(ewald_sum_pairs(x, 10.0, G))
+        np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
 def test_kpoints_shape():
