@@ -92,7 +92,11 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
 
         classical_fisher = classical_score.T @ classical_score / batch
         quantum_fisher = (quantum_score.conj().T @ quantum_score).real / batch
-        quantum_score_mean = quantum_score.mean(axis=0)
+        qsm = quantum_score.mean(axis=0)
+        # Re/Im stacked as a real (2, P) array: complex arrays may not cross
+        # jit boundaries on all TPU runtimes (c64 program inputs / host
+        # fetches are unimplemented on the axon tunnel).
+        quantum_score_mean = jnp.stack([qsm.real, qsm.imag])
         return classical_fisher, quantum_fisher, quantum_score_mean
 
     def init_fn(params):
@@ -101,10 +105,9 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
     def update_fn(grads, state, fishers):
         grad_van, grad_flow = grads
         classical_fisher, quantum_fisher, quantum_score_mean = fishers
+        qsm = quantum_score_mean[0] + 1j * quantum_score_mean[1]
         # Center the quantum Fisher: subtract the mean-score outer product.
-        quantum_fisher = quantum_fisher - (
-            quantum_score_mean.conj()[:, None] * quantum_score_mean
-        ).real
+        quantum_fisher = quantum_fisher - (qsm.conj()[:, None] * qsm).real
 
         gv, unravel_van = ravel_pytree(grad_van)
         gf, unravel_flow = ravel_pytree(grad_flow)

@@ -28,9 +28,11 @@ __all__ = ["make_freefermion_loss", "pretrain"]
 def make_freefermion_loss(log_prob, Es, beta):
     """REINFORCE loss for the non-interacting system (exact per-state E)."""
 
+    Es = np.asarray(Es)  # host constant; converted at trace time
+
     def loss_fn(params, state_indices):
         logp = log_prob(params, state_indices)
-        E = Es[state_indices].sum(axis=-1)
+        E = jnp.asarray(Es)[state_indices].sum(axis=-1)
         F = jax.lax.stop_gradient(logp / beta + E)
 
         aux = {
@@ -70,7 +72,7 @@ def pretrain(
     # sees the (almost always empty) high tail at small indices where the
     # ordered-occupation band mask prunes hardest.
     sp_indices_twist = np.asarray(sp_indices_twist[::-1].copy(), dtype)
-    Es_twist = jnp.asarray((2 * np.pi / L) ** 2 * np.asarray(Es_twist[::-1].copy(), dtype), dtype)
+    Es_twist = np.asarray((2 * np.pi / L) ** 2 * np.asarray(Es_twist[::-1].copy()), dtype)
 
     if check_analytic:
         from mpmath import mp, mpf

@@ -78,12 +78,9 @@ def init_accumulators(params_van, params_flow, sr: bool, real_dtype=None, comple
         p_flow = ravel_pytree(params_flow)[0].size
         acc["classical_fisher"] = jnp.zeros((p_van, p_van), real_dtype)
         acc["quantum_fisher"] = jnp.zeros((p_flow, p_flow), real_dtype)
-        # host numpy: eager creation of complex arrays is unsupported on some
-        # TPU runtimes (c64 broadcast_in_dim fails in the AOT compile helper);
-        # the array is transferred on first use instead.
-        import numpy as np
-
-        acc["quantum_score_mean"] = np.zeros((p_flow,), complex_dtype)
+        # Re/Im stacked real layout — complex arrays cannot cross jit
+        # boundaries on all TPU runtimes (see optim/sr.py).
+        acc["quantum_score_mean"] = jnp.zeros((2, p_flow), real_dtype)
     return acc
 
 
@@ -92,6 +89,7 @@ def make_accumulate_and_apply(
     optimizer,
     acc_steps: int,
     sr_opt: HybridFisherSR | None = None,
+    microbatch: int | None = None,
 ):
     """Build (accumulate, apply_update) for one training epoch.
 
@@ -101,30 +99,61 @@ def make_accumulate_and_apply(
     scores are accumulated, then normalized by acc_steps, baseline-corrected
     (grad_van -= F_mean * score_van, grad_flow -= E_mean * score_flow) and fed
     to the optimizer.
+
+    ``microbatch`` bounds the HBM peak of the AD graphs: the batch is split
+    into chunks processed by a ``lax.scan`` *inside* the jitted program, so
+    per-sample reverse-mode activations are live for one chunk at a time.
+    This is the in-compiler analogue of the reference's host-level acc_steps
+    loop — one executable, no extra dispatches.  (The REINFORCE clipping
+    window is then computed per chunk rather than per acc-step batch; for
+    chunks >= O(1k) samples the difference is statistically negligible.)
     """
     use_sr = sr_opt is not None
 
-    def accumulate(params_van, params_flow, state_indices, x, key, acc):
+    def _one_batch(params_van, params_flow, state_indices, x, key):
         data, classical_lossfn, quantum_lossfn = observable_and_lossfn(
             params_van, params_flow, state_indices, x, key
         )
         # jacrev over the (loss, mean-logp) pair gives (REINFORCE grad, mean score).
         grad_van, classical_score = jax.jacrev(classical_lossfn)(params_van)
         grad_flow, quantum_score = jax.jacrev(quantum_lossfn)(params_flow)
-
-        add = lambda a, b: jax.tree.map(jnp.add, a, b)
-        new_acc = {
-            "data": add(acc["data"], data),
-            "grads": add(acc["grads"], (grad_van, grad_flow)),
-            "classical_score": add(acc["classical_score"], classical_score),
-            "quantum_score": add(acc["quantum_score"], quantum_score),
+        out = {
+            "data": data,
+            "grads": (grad_van, grad_flow),
+            "classical_score": classical_score,
+            "quantum_score": quantum_score,
         }
         if use_sr:
             cf, qf, qsm = sr_opt.fishers(params_van, params_flow, state_indices, x)
-            new_acc["classical_fisher"] = acc["classical_fisher"] + cf
-            new_acc["quantum_fisher"] = acc["quantum_fisher"] + qf
-            new_acc["quantum_score_mean"] = acc["quantum_score_mean"] + qsm
-        return new_acc
+            out["classical_fisher"] = cf
+            out["quantum_fisher"] = qf
+            out["quantum_score_mean"] = qsm
+        return out
+
+    def accumulate(params_van, params_flow, state_indices, x, key, acc):
+        batch = x.shape[0]
+        add = lambda a, b: jax.tree.map(jnp.add, a, b)
+
+        if microbatch is None or batch <= microbatch:
+            contrib = _one_batch(params_van, params_flow, state_indices, x, key)
+            return add(acc, contrib)
+
+        assert batch % microbatch == 0, (batch, microbatch)
+        nchunks = batch // microbatch
+        si_c = state_indices.reshape(nchunks, microbatch, *state_indices.shape[1:])
+        x_c = x.reshape(nchunks, microbatch, *x.shape[1:])
+        keys = jax.random.split(key, nchunks)
+
+        def chunk_step(carry, inp):
+            si, xc, kc = inp
+            contrib = _one_batch(params_van, params_flow, si, xc, kc)
+            # equal-sized chunks: average now so acc keeps per-call means
+            contrib = jax.tree.map(lambda t: t / nchunks, contrib)
+            return add(carry, contrib), None
+
+        zero = jax.tree.map(jnp.zeros_like, acc)
+        summed, _ = jax.lax.scan(chunk_step, zero, (si_c, x_c, keys))
+        return add(acc, summed)
 
     def apply_update(params_van, params_flow, opt_state, acc):
         norm = lambda t: jax.tree.map(lambda a: a / acc_steps, t)

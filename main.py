@@ -77,6 +77,8 @@ def parse_args(argv=None):
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices in the mesh (0 = all visible)")
     parser.add_argument("--acc_steps", type=int, default=4)
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="in-jit gradient-chunk size bounding HBM (0 = whole batch)")
     parser.add_argument("--epoch_finished", type=int, default=0)
     parser.add_argument("--epoch", type=int, default=3000)
     parser.add_argument("--ckpt_every", type=int, default=100)
@@ -283,7 +285,8 @@ def main(argv=None):
         args.kappa, G, L, args.rs, Vconst, beta,
     )
     accumulate, apply_update = make_accumulate_and_apply(
-        observable_and_lossfn, optimizer, args.acc_steps, sr_opt
+        observable_and_lossfn, optimizer, args.acc_steps, sr_opt,
+        microbatch=args.microbatch or None,
     )
     accumulate_jit = jax.jit(
         accumulate,

@@ -1,0 +1,83 @@
+"""Physics-parity run: free-fermion VAN pretraining vs the exact oracle.
+
+Reproduces the reference's stage-1 baseline (BASELINE.md: n=13, Emax=25,
+batch 8192, SR damping/maxnorm 1e-3, twist (1/4,1/4); converged
+F = 24.811018 +- 4e-5, S = 4.504) on the local accelerator, and reports the
+final EWM-averaged F/E/S against the mpmath oracle.
+
+Run:  python scripts/pretrain_parity.py --n 13 --epoch 2000 --folder /tmp/parity
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=13)
+    parser.add_argument("--dim", type=int, default=2)
+    parser.add_argument("--Theta", type=float, default=0.15)
+    parser.add_argument("--Emax", type=int, default=25)
+    parser.add_argument("--batch", type=int, default=8192)
+    parser.add_argument("--epoch", type=int, default=2000)
+    parser.add_argument("--folder", default="/tmp/parity")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--log_every", type=int, default=10)
+    parser.add_argument("--dps", type=int, default=400)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from coulombgas_tpu.config import default_precision
+
+    prec = default_precision()
+
+    import numpy as np
+    from mpmath import mpf
+
+    from coulombgas_tpu.analytic.canonical import Z_E
+    from coulombgas_tpu.analysis.ewm import running_average
+    from coulombgas_tpu.models.transformer import TransformerConfig, init_transformer_params
+    from coulombgas_tpu.physics.orbitals import sp_orbitals
+    from coulombgas_tpu.train.pretrain import pretrain
+
+    twist = [0.25, 0.25] if args.dim == 2 else [0.25, 0.25, 0.25]
+    _, Es = sp_orbitals(args.dim, args.Emax)
+    cfg = TransformerConfig(Es.size, 2, 16, 4, 32)
+    key = jax.random.PRNGKey(42)
+    params = init_transformer_params(key, cfg, args.dim, prec.real)
+
+    path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}")
+    os.makedirs(path, exist_ok=True)
+
+    F_x, E_x, S_x = (
+        float(v)
+        for v in Z_E(args.n, args.dim, mpf(str(args.Theta)),
+                     [mpf(str(t)) for t in twist], args.Emax, dps=args.dps)
+    )
+
+    pretrain(
+        cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,
+        path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
+        batch=args.batch, epoch=args.epoch, dps=args.dps,
+        log_every=args.log_every,
+    )
+
+    data = np.loadtxt(os.path.join(path, "data.txt"), ndmin=2)
+    tail = data[-max(1, len(data) // 5):]
+    for j, (name, exact) in enumerate([("F", F_x), ("E", E_x), ("S", S_x)]):
+        mean, var = running_average(data[:, 1 + 2 * j], alpha=0.01)
+        print(
+            "%s: ewm %.6f +- %.6f | exact %.6f | diff %.2e (per particle %.2e)"
+            % (name, mean[-1], np.sqrt(max(var[-1], 0)), exact,
+               mean[-1] - exact, (mean[-1] - exact) / args.n)
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,9 @@ def test_hybrid_fisher_centering():
     np.testing.assert_allclose(
         np.asarray(qf), np.asarray((q_scores.conj().T @ q_scores).real / B), rtol=1e-12
     )
-    np.testing.assert_allclose(np.asarray(qsm), np.asarray(q_scores.mean(axis=0)), rtol=1e-12)
+    # quantum score mean crosses the jit boundary Re/Im-stacked (TPU c64 I/O)
+    qsm_c = np.asarray(qsm[0]) + 1j * np.asarray(qsm[1])
+    np.testing.assert_allclose(qsm_c, np.asarray(q_scores.mean(axis=0)), rtol=1e-12)
 
     # update with zero grads is zero; with aligned grads it shrinks by trust region
     grads = ({"w": jnp.ones((Pv,), jnp.float64)}, {"w": jnp.ones((Pf,), jnp.float64)})

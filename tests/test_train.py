@@ -107,3 +107,41 @@ def test_pretrain_converges_toward_oracle(tmp_path):
     assert abs(last_F - F_exact) < 0.4 * abs(first_F - F_exact)
     # F is a variational upper bound (within MC noise)
     assert last_F > F_exact - 0.05
+
+
+def test_microbatched_accumulate_matches_full():
+    """In-jit chunked accumulation == whole-batch (when clipping inactive)."""
+    import coulombgas_tpu as cg
+    from coulombgas_tpu.train.loss import make_loss
+
+    parts_full = ge._build_stack(n=5, dim=2, Emax=4, batch=32, rdtype=jnp.float64,
+                                 hutchinson=True, sr=True)
+    parts_mb = ge._build_stack(n=5, dim=2, Emax=4, batch=32, rdtype=jnp.float64,
+                               hutchinson=True, sr=True, microbatch=8)
+    key = jax.random.PRNGKey(0)
+    s, x, _ = jax.jit(parts_full["sample_step"])(
+        parts_full["params_van"], parts_full["params_flow"], parts_full["x"], key
+    )
+
+    acc1 = parts_full["accumulate"](
+        parts_full["params_van"], parts_full["params_flow"], s, x, key,
+        parts_full["init_acc"](),
+    )
+    acc2 = parts_mb["accumulate"](
+        parts_mb["params_van"], parts_mb["params_flow"], s, x, key,
+        parts_mb["init_acc"](),
+    )
+    # Observable means agree exactly (chunk means average to the batch mean);
+    # gradients agree up to the per-chunk Hutchinson keys and clip windows —
+    # compare the deterministic pieces.
+    np.testing.assert_allclose(
+        float(acc1["data"]["V_mean"]), float(acc2["data"]["V_mean"]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc1["classical_fisher"]), np.asarray(acc2["classical_fisher"]),
+        rtol=1e-9, atol=1e-18,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10),
+        acc1["classical_score"], acc2["classical_score"],
+    )
