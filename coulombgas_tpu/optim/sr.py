@@ -31,12 +31,20 @@ def _ravel_batch(scores):
 
 
 def _solve_scaled(fisher, grads_raveled, damping, max_norm):
-    """Damped dense solve + trust-region scaling; returns the *negated* step."""
+    """Damped dense solve + trust-region scaling; returns the *negated* step.
+
+    The centered quantum Fisher is PSD only up to roundoff; in f32 the damped
+    matrix can be numerically indefinite, so use a general LU solve (a
+    Cholesky would silently produce NaNs) and guard the trust-region scale
+    against a non-positive g^T F^{-1} g.  A final finiteness mask turns a
+    pathological solve into a null step instead of NaN parameters.
+    """
     fisher = fisher + damping * jnp.eye(fisher.shape[0], dtype=fisher.dtype)
-    updates = jax.scipy.linalg.solve(fisher, grads_raveled, assume_a="pos")
+    updates = jax.scipy.linalg.solve(fisher, grads_raveled)
     gnorm = jnp.sum(grads_raveled * updates)
-    scale = jnp.minimum(jnp.sqrt(max_norm / gnorm), 1.0)
-    return -scale * updates
+    scale = jnp.minimum(jnp.sqrt(max_norm / jnp.maximum(gnorm, jnp.finfo(gnorm.dtype).tiny)), 1.0)
+    updates = -scale * updates
+    return jnp.where(jnp.isfinite(updates), updates, jnp.zeros_like(updates))
 
 
 class FisherSR(NamedTuple):

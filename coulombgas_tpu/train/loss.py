@@ -71,11 +71,10 @@ def make_loss(log_prob, logpsi, logpsi_grad_laplacian, kappa, G, L, rs, Vconst, 
             logpsix = logpsi(x, params_flow, state_indices)
             tv = jnp.abs(Eloc - E_mean).mean()
             lo, hi = E_mean - clip_factor * tv, E_mean + clip_factor * tv
-            # complex-safe clip on the real part (jnp.clip rejects complex):
-            # samples outside the window collapse to the real bound.
-            Eloc_clipped = jnp.where(
-                Eloc.real < lo, lo + 0j, jnp.where(Eloc.real > hi, hi + 0j, Eloc)
-            )
+            # complex-safe clip (jnp.clip rejects complex): clip the real part
+            # and carry the imaginary part unchanged, matching the reference's
+            # complex jnp.clip semantics (src/VMC.py:72-73).
+            Eloc_clipped = jnp.clip(Eloc.real, lo, hi) + 1j * Eloc.imag
             gradF_theta = 2 * (logpsix * Eloc_clipped.conj()).real.mean()
             quantum_score = 2 * logpsix.real.mean()
             return gradF_theta, quantum_score

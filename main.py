@@ -181,9 +181,10 @@ def main(argv=None):
         print("No pretrained model found; running free-fermion pretraining...")
         from coulombgas_tpu.train.pretrain import pretrain
 
+        key, key_pretrain = jax.random.split(key)
         params_van = pretrain(
             van_cfg, params_van, n, dim, args.Theta, args.Emax, twist,
-            freefermion_path, key,
+            freefermion_path, key_pretrain,
             pre_lr, pre_sr, pre_damping, pre_maxnorm,
             args.pre_batch, epoch=args.pre_epoch,
         )
@@ -304,6 +305,11 @@ def main(argv=None):
         print("Load checkpoint:", load_ckpt)
         ckpt = load_data(load_ckpt)
         key = jnp.asarray(ckpt["key"])
+        if ckpt["x"].shape[0] != args.batch:
+            raise ValueError(
+                "checkpoint walker batch %d != --batch %d; resume with the "
+                "original batch size" % (ckpt["x"].shape[0], args.batch)
+            )
         x = shard_batch(jnp.asarray(ckpt["x"], rdtype), mesh)
         params_van = replicate(jax.tree.map(lambda a: jnp.asarray(a, rdtype),
                                             ckpt["params_van"]), mesh)
@@ -332,16 +338,19 @@ def main(argv=None):
 
     for i in range(args.epoch_finished + 1, args.epoch + 1):
         acc = replicate(init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
-        accept_rate_acc = 0.0
+        # accumulated on device: a host float() here would sync and serialize
+        # the sample/accumulate dispatch pipeline every acc step
+        accept_rate_acc = jnp.zeros((), rdtype)
         for _ in range(args.acc_steps):
             key, k_sample, k_update = jax.random.split(key, 3)
             state_indices, x, accept_rate = sample_jit(params_van, params_flow, x, k_sample)
-            accept_rate_acc += float(accept_rate)
+            accept_rate_acc = accept_rate_acc + accept_rate
             acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
         params_van, params_flow, opt_state, data = apply_jit(
             params_van, params_flow, opt_state, acc
         )
 
+        accept_rate_acc = float(accept_rate_acc)
         d = {k: float(v) for k, v in data.items()}
         rs2 = args.rs**2
         if is_main:
