@@ -1,32 +1,40 @@
 """Benchmark: full VMC training-step wall-clock on the local accelerator.
 
-Measures the production configuration of the BASELINE.json north star:
-n=13 electrons, 2D, Emax=25, global batch 8192, Hutchinson Laplacian,
-hybrid-Fisher SR, 50 Metropolis sweeps per step — one full training step =
-joint sampling + observable/gradient/Fisher accumulation + SR update.
+Measures the BASELINE.json north-star metric — the full production training
+step (joint sampling with 50 Metropolis sweeps + observable/gradient/Fisher
+accumulation + hybrid-SR update) — at the two stated configurations:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is speedup relative to the round-1 measurement on a single
-TPU v5e chip (the reference publishes no wall-clock numbers — see
-BASELINE.md; this pins our own first measurement as the yardstick, so
-values > 1 mean faster than round 1).
+    n=13, Emax=25, global batch 8192   (primary; round-1 pin for vs_baseline)
+    n=49, Emax=36, global batch 8192   (scaling config; microbatched)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+``vs_baseline`` is speedup of the primary config relative to the round-1
+measurement on a single TPU v5e chip (the reference publishes no wall-clock
+numbers — see BASELINE.md; the round-1 number is the pinned yardstick, so
+values > 1 mean faster).  ``detail`` carries per-phase timings (sample /
+accumulate / apply) for each config.
 """
 
 import json
 import time
 
-# Round-1 single-chip TPU v5e measurement (seconds per full training step).
+# Round-1 single-chip TPU v5e measurement (seconds per full training step,
+# n=13 batch 8192) — the fixed yardstick for vs_baseline across rounds.
 PINNED_BASELINE_SECONDS = 5.5144
 
+CONFIGS = [
+    ("n13_batch8192", dict(n=13, Emax=25, batch=8192, microbatch=2048)),
+    ("n49_batch8192", dict(n=49, Emax=36, batch=8192, microbatch=128, mc_microbatch=512)),
+]
 
-def build(batch=8192, n=13, Emax=25, mc_steps=50):
+
+def build(cfg):
     import jax
 
     import __graft_entry__ as ge
 
     parts = ge._build_stack(
-        n=n, dim=2, Emax=Emax, batch=batch, hutchinson=True, sr=True, mc_steps=mc_steps,
-        microbatch=2048,
+        dim=2, hutchinson=True, sr=True, mc_steps=50, **cfg
     )
     sample_jit = jax.jit(parts["sample_step"], donate_argnums=(2,))
     accumulate_jit = jax.jit(parts["accumulate"], donate_argnums=(5,))
@@ -51,45 +59,70 @@ def _retry(fn, *args, tries=4):
             _t.sleep(3.0)
 
 
-def main():
+def bench_config(cfg, iters=5, warmup=2):
     import jax
 
-    parts, sample_jit, accumulate_jit, apply_jit = build()
+    parts, sample_jit, accumulate_jit, apply_jit = build(cfg)
     params_van, params_flow = parts["params_van"], parts["params_flow"]
     opt_state, x, key = parts["opt_state"], parts["x"], parts["key"]
 
-    def step(x, key, params_van, params_flow, opt_state):
+    phases = {"sample": 0.0, "accumulate": 0.0, "apply": 0.0}
+
+    def step(x, key, params_van, params_flow, opt_state, record):
         key, k1, k2 = jax.random.split(key, 3)
         acc = parts["init_acc"]()
+        t0 = time.perf_counter()
         state_indices, x, accept = _retry(sample_jit, params_van, params_flow, x, k1)
+        jax.block_until_ready(x)
+        t1 = time.perf_counter()
         acc = _retry(accumulate_jit, params_van, params_flow, state_indices, x, k2, acc)
+        jax.block_until_ready(acc["data"]["F_mean"])
+        t2 = time.perf_counter()
         params_van, params_flow, opt_state, data = _retry(
             apply_jit, params_van, params_flow, opt_state, acc
         )
-        jax.block_until_ready((x, params_van, data))
-        return x, key, params_van, params_flow, opt_state, data
+        jax.block_until_ready((params_van, data))
+        t3 = time.perf_counter()
+        if record:
+            phases["sample"] += t1 - t0
+            phases["accumulate"] += t2 - t1
+            phases["apply"] += t3 - t2
+        return x, key, params_van, params_flow, opt_state
 
-    # warmup (compilation)
-    for _ in range(2):
-        x, key, params_van, params_flow, opt_state, data = step(
-            x, key, params_van, params_flow, opt_state
+    for _ in range(warmup):
+        x, key, params_van, params_flow, opt_state = step(
+            x, key, params_van, params_flow, opt_state, record=False
         )
-
-    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        x, key, params_van, params_flow, opt_state, data = step(
-            x, key, params_van, params_flow, opt_state
+        x, key, params_van, params_flow, opt_state = step(
+            x, key, params_van, params_flow, opt_state, record=True
         )
     dt = (time.perf_counter() - t0) / iters
+    return dt, {k: round(v / iters, 4) for k, v in phases.items()}
+
+
+def main():
+    detail = {}
+    primary = None
+    for name, cfg in CONFIGS:
+        try:
+            dt, phases = bench_config(cfg)
+        except Exception as e:  # OOM / transient: report, keep the primary
+            detail[name] = {"error": str(e)[:200]}
+            continue
+        detail[name] = {"s_per_step": round(dt, 4), **phases}
+        if primary is None:
+            primary = dt
 
     print(
         json.dumps(
             {
                 "metric": "vmc_train_step_n13_batch8192_hutchinson_sr",
-                "value": round(dt, 4),
+                "value": round(primary, 4),
                 "unit": "s/step",
-                "vs_baseline": round(PINNED_BASELINE_SECONDS / dt, 3),
+                "vs_baseline": round(PINNED_BASELINE_SECONDS / primary, 3),
+                "detail": detail,
             }
         )
     )

@@ -3,7 +3,8 @@
 A brand-new, TPU-first framework for finite-temperature variational Monte
 Carlo of the uniform electron gas, with full capability parity to
 fermiflow/CoulombGas (see SURVEY.md).  Compute path: JAX/XLA (jit + sharding
-over an ICI mesh) with Pallas kernels for hot ops; no pmap, no haiku.
+over an ICI mesh) with a Pallas kernel on the MCMC hot path (batched
+Gram-Cholesky log-determinants, ops/pallas_logdet.py); no pmap, no haiku.
 """
 
 from .config import F32, F64, Precision, default_precision, enable_x64
@@ -29,6 +30,7 @@ from .wavefunction.logpsi import (
     make_quantum_score,
 )
 from .wavefunction.fast_laplacian import make_logpsi_grad_laplacian_analytic
+from .wavefunction.fast_logp import make_logp_fast
 from .optim.sr import fisher_sr, hybrid_fisher_sr
 from .train.loss import make_loss
 from .train.train import init_accumulators, make_accumulate_and_apply, make_sample_step

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 # be partitioned over the device mesh without materializing on one device.
 jax.config.update("jax_threefry_partitionable", True)
 
+# True-f32 matmuls: TPUs compute f32 dots in bf16 passes by default, which
+# costs ~3 decimal digits in the Slater/Jacobian Gram matrices and the flow
+# layers — measurable logp error (~0.1) against the f64 oracle.  All models
+# here are tiny and bandwidth-bound, so the extra MXU passes are cheap.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the AD graphs here are large and the TPU
 # compile path is slow, so executables are cached on disk across processes.
 _CACHE_DIR = os.environ.get(

@@ -1,0 +1,91 @@
+"""Fast MCMC coordinate density: logp = 2 Re log Psi without slogdet.
+
+The Metropolis kernel evaluates logp for the full walker batch at every
+sweep (50x per training step — reference hot loop #2, src/MCMC.py:22-37 +
+src/logpsi.py:22-29), and needs no parameter derivatives there.  This module
+assembles logp from batched Gram-Cholesky log-determinants (ops/logdet.py)
+instead of the generic make_logp path (wavefunction/logpsi.py), which runs
+two XLA LU slogdets per walker:
+
+    2 Re log Psi = 2 Re log det D(u) + log |det J|
+                 = log det (D^H D)   + 1/2 log det (J^T J)
+      with u = flow(x), J = d flow / dx, D_ij = L^(-dim/2) e^{i k_j . u_i}.
+
+For dim=2 both Gram forms are (2n x 2n) real SPD — the complex Hermitian
+D^H D via its real embedding — so the two determinants of the whole batch
+ride a single Pallas kernel call.  The flow Jacobian comes from one
+``jax.linearize`` + nd-basis fan-out per sample (the primal is reused for D,
+unlike jacfwd which discards it).
+
+Differentially tested against make_logp (slogdet) in f64 and f32
+(tests/test_fast_logp.py); the production MCMC path uses this function, the
+AD paths (gradients/Laplacian/scores) are unaffected.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.logdet import chol_logdet, gram_logabsdet, planewave_gram_embed
+
+__all__ = ["make_logp_fast"]
+
+
+def make_logp_fast(
+    flow_apply, sp_indices, L, use_pallas: bool | None = None, chunk: int | None = None
+):
+    """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
+
+    Drop-in replacement for ``make_logp(make_logpsi(...))`` on the sampling
+    path.  ``sp_indices`` is the (M, dim) float array of twisted momenta.
+
+    ``chunk`` bounds HBM: the nd-wide Jacobian tangent fan-out materializes
+    O(batch * n^2 * nd) pair-feature tangents — ~41 GB at n=49, batch 8192 —
+    so large systems process the batch in ``chunk``-sized pieces through a
+    ``lax.map`` (sequential in-program, one executable).
+    """
+    sp_indices = np.asarray(sp_indices)  # host constant
+
+    def logp_impl(x, params, state_indices):
+        B, n, dim = x.shape
+        nd = n * dim
+        rdtype = x.dtype
+
+        def u_and_jac(xf):
+            flow_flat = lambda q: flow_apply(params, q.reshape(n, dim)).reshape(-1)
+            u_flat, jvp = jax.linearize(flow_flat, xf)
+            J = jax.vmap(jvp, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))
+            return u_flat.reshape(n, dim), J
+
+        u, J = jax.vmap(u_and_jac)(x.reshape(B, nd))
+
+        k = 2 * jnp.pi / L * jnp.asarray(sp_indices, rdtype)[state_indices]
+        ang = jnp.einsum("bnd,bmd->bnm", u, k)
+        c = L ** (-dim / 2)
+        Dr, Di = c * jnp.cos(ang), c * jnp.sin(ang)
+
+        embed = planewave_gram_embed(Dr, Di)  # (B, 2n, 2n) SPD
+        if 2 * n == nd:
+            # dim=2: flow-Jacobian Gram is the same size — one kernel call.
+            gram_J = jnp.einsum("bij,bkj->bik", J, J)
+            ld = chol_logdet(
+                jnp.concatenate([embed, gram_J], axis=0), use_pallas=use_pallas
+            )
+            return 0.5 * ld[:B] + 0.5 * ld[B:]
+        return 0.5 * chol_logdet(embed, use_pallas=use_pallas) + gram_logabsdet(
+            J, use_pallas=use_pallas
+        )
+
+    def logp(x, params, state_indices):
+        B = x.shape[0]
+        if chunk is None or B <= chunk:
+            return logp_impl(x, params, state_indices)
+        assert B % chunk == 0, (B, chunk)
+        xc = x.reshape(B // chunk, chunk, *x.shape[1:])
+        sic = state_indices.reshape(B // chunk, chunk, *state_indices.shape[1:])
+        out = jax.lax.map(lambda args: logp_impl(args[0], params, args[1]), (xc, sic))
+        return out.reshape(B)
+
+    return logp

@@ -64,6 +64,12 @@ def parse_args(argv=None):
     parser.add_argument("--laplacian", choices=["analytic", "ad"], default="analytic",
                         help="Slater-part Laplacian: closed-form plane-wave identities "
                              "(fast path, O(dim n^3)) or generic forward-over-reverse AD")
+    parser.add_argument("--slow_logp", action="store_true",
+                        help="use the slogdet-based MCMC density instead of the "
+                             "Gram-Cholesky fast path")
+    parser.add_argument("--mc_microbatch", type=int, default=0,
+                        help="batch-chunk size for the MCMC logp (bounds the "
+                             "Jacobian fan-out HBM peak at large n; 0 = whole batch)")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -199,7 +205,16 @@ def main(argv=None):
     flow_apply = lambda p, x: cg.ferminet_apply(p, flow_cfg, x)
     logpsi_novmap = cg.make_logpsi(flow_apply, sp_indices_twist, L)
     logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
-    logp = cg.make_logp(logpsi_novmap)
+    if args.slow_logp:
+        logp = cg.make_logp(logpsi_novmap)
+    else:
+        # MCMC hot path: Gram-Cholesky log-dets (Pallas on TPU) instead of
+        # two LU slogdets per walker — ~4x faster sweeps, differentially
+        # tested against make_logp (tests/test_fast_logp.py)
+        from coulombgas_tpu.wavefunction.fast_logp import make_logp_fast
+
+        logp = make_logp_fast(flow_apply, sp_indices_twist, L,
+                              chunk=args.mc_microbatch or None)
 
     # ---- Ewald -------------------------------------------------------------
     G = np.asarray(cg.kpoints(dim, args.Gmax), rdtype)
