@@ -11,7 +11,9 @@ but a clean typed API: Fisher matrices flow through an explicit
 TPU notes: the Fisher build is a (batch x P)^T (batch x P) GEMM — MXU work —
 and the contraction over a mesh-sharded batch axis lowers to a psum
 automatically under jit.  The dense P x P solves (P ~ 1e3-1e4) run on device;
-on TPU they are f32 — validated against f64 CPU within test tolerances.
+on TPU they are f32 — validated against f64 in tests/test_f32.py
+(test_sr_solve_f32_vs_f64, test_sr_solve_f32_indefinite_no_nan,
+test_hybrid_fisher_f32_vs_f64).
 """
 
 from __future__ import annotations
