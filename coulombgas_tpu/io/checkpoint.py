@@ -29,8 +29,22 @@ __all__ = [
 
 
 def to_host(pytree):
-    """Gather any sharded/device pytree to host numpy for pickling."""
-    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), pytree)
+    """Gather any sharded/device pytree to host numpy for pickling.
+
+    Multi-host safe: arrays that are not fully addressable from this process
+    (batch-sharded walkers on a pod slice) are all-gathered across processes
+    first — which makes this a COLLECTIVE under multi-host; every process
+    must call it (the driver does, and only process 0 writes the file).
+    """
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(gather, pytree)
 
 
 def save_data(data, filename: str) -> None:

@@ -379,15 +379,19 @@ def main(argv=None):
                 accept_rate_acc / args.acc_steps,
             )
 
-        if is_main and i % args.ckpt_every == 0:
+        if i % args.ckpt_every == 0:
+            # to_host is a cross-process collective for non-addressable
+            # shards (pod slices), so EVERY process builds the ckpt; only
+            # process 0 touches the filesystem.
             ckpt = {
                 "key": to_host(key), "x": to_host(x),
                 "params_van": to_host(params_van), "params_flow": to_host(params_flow),
                 "opt_state": to_host(opt_state),
             }
-            fname = ckpt_filename(i, path)
-            save_data(ckpt, fname)
-            print("Save checkpoint file:", fname)
+            if is_main:
+                fname = ckpt_filename(i, path)
+                save_data(ckpt, fname)
+                print("Save checkpoint file:", fname)
 
     if log is not None:
         log.close()

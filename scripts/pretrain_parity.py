@@ -69,13 +69,16 @@ def main():
     )
 
     data = np.loadtxt(os.path.join(path, "data.txt"), ndmin=2)
+    # converged estimate: plain mean over the final 20% of logged epochs
+    # (an EWM from epoch 1 would still carry the early transient), with the
+    # standard error of that mean from the per-epoch scatter
     tail = data[-max(1, len(data) // 5):]
     for j, (name, exact) in enumerate([("F", F_x), ("E", E_x), ("S", S_x)]):
-        mean, var = running_average(data[:, 1 + 2 * j], alpha=0.01)
+        col = tail[:, 1 + 2 * j]
+        mean, err = col.mean(), col.std() / np.sqrt(len(col))
         print(
-            "%s: ewm %.6f +- %.6f | exact %.6f | diff %.2e (per particle %.2e)"
-            % (name, mean[-1], np.sqrt(max(var[-1], 0)), exact,
-               mean[-1] - exact, (mean[-1] - exact) / args.n)
+            "%s: tail-mean %.6f +- %.6f | exact %.6f | diff %.2e (per particle %.2e)"
+            % (name, mean, err, exact, mean - exact, (mean - exact) / args.n)
         )
 
 
