@@ -79,32 +79,37 @@ def make_autoregressive_sampler(
         return (m > prev_idx) & (m <= M - n + i)
 
     def sampler(params, key, batch: int):
-        """Draw a batch of occupation states with KV-cached decoding."""
+        """Draw a batch of occupation states with KV-cached decoding.
+
+        Exactly n-1 decode steps: particle 0 is drawn from the learned
+        ``x1hat`` logits with no transformer run, and each decode of token
+        i-1 yields the row-i logits for the next draw (no wasted final step).
+        """
         dtype = params["x1hat"].dtype
         kc0, vc0 = init_kv_cache(cfg, n, dtype)
         kc0 = jnp.broadcast_to(kc0, (batch,) + kc0.shape)
         vc0 = jnp.broadcast_to(vc0, (batch,) + vc0.shape)
-        # Row-0 logits are the learned x1hat — no transformer run needed.
-        logits0 = jnp.broadcast_to(params["x1hat"], (batch, M))
 
         decode = jax.vmap(
             lambda tok, pos, kc, vc: transformer_decode_step(params, cfg, tok, pos, kc, vc),
             in_axes=(0, None, 0, 0),
         )
 
+        keys = jax.random.split(key, n)
+        logits0 = jnp.broadcast_to(params["x1hat"], (batch, M))
+        masked0 = jnp.where(_row_mask(0, jnp.full((batch, 1), -1)), logits0, _NEG_INF)
+        s_0 = jax.random.categorical(keys[0], masked0, axis=-1).astype(jnp.int32)
+
         def step(carry, inp):
-            logits, prev, kc, vc = carry
+            prev, kc, vc = carry
             i, key_i = inp
+            logits, kc, vc = decode(jnp.asarray(sp_indices)[prev], i - 1, kc, vc)
             masked = jnp.where(_row_mask(i, prev[:, None]), logits, _NEG_INF)
             s_i = jax.random.categorical(key_i, masked, axis=-1).astype(jnp.int32)
-            # Feed the chosen token to produce row i+1 logits (wasted at i=n-1).
-            next_logits, kc, vc = decode(jnp.asarray(sp_indices)[s_i], i, kc, vc)
-            return (next_logits, s_i, kc, vc), s_i
+            return (s_i, kc, vc), s_i
 
-        keys = jax.random.split(key, n)
-        init = (logits0, jnp.full((batch,), -1, jnp.int32), kc0, vc0)
-        _, samples = jax.lax.scan(step, init, (jnp.arange(n), keys))
-        return samples.T  # (batch, n)
+        _, samples = jax.lax.scan(step, (s_0, kc0, vc0), (jnp.arange(1, n), keys[1:]))
+        return jnp.concatenate([s_0[:, None], samples.T], axis=1)  # (batch, n)
 
     def log_prob(params, state_idx):
         """Exact log p(state_idx) for one (n,) ordered occupation state."""

@@ -13,9 +13,10 @@ two XLA LU slogdets per walker:
 
 For dim=2 both Gram forms are (2n x 2n) real SPD — the complex Hermitian
 D^H D via its real embedding — so the two determinants of the whole batch
-ride a single Pallas kernel call.  The flow Jacobian comes from one
-``jax.linearize`` + nd-basis fan-out per sample (the primal is reused for D,
-unlike jacfwd which discards it).
+ride a single Pallas kernel call.  The flow Jacobian is the ANALYTIC
+pair-local propagation (models/ferminet_jac.py): O(n^2 * features) per
+walker instead of the O(n^3)-FLOP / O(n^3)-memory nd-tangent fan-out of
+generic forward-mode AD.
 
 Differentially tested against make_logp (slogdet) in f64 and f32
 (tests/test_fast_logp.py); the production MCMC path uses this function, the
@@ -34,17 +35,25 @@ __all__ = ["make_logp_fast"]
 
 
 def make_logp_fast(
-    flow_apply, sp_indices, L, use_pallas: bool | None = None, chunk: int | None = None
+    flow_apply,
+    sp_indices,
+    L,
+    use_pallas: bool | None = None,
+    chunk: int | None = None,
+    jacobian=None,
 ):
     """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
 
     Drop-in replacement for ``make_logp(make_logpsi(...))`` on the sampling
     path.  ``sp_indices`` is the (M, dim) float array of twisted momenta.
 
-    ``chunk`` bounds HBM: the nd-wide Jacobian tangent fan-out materializes
-    O(batch * n^2 * nd) pair-feature tangents — ~41 GB at n=49, batch 8192 —
-    so large systems process the batch in ``chunk``-sized pieces through a
-    ``lax.map`` (sequential in-program, one executable).
+    ``jacobian(params, x) -> (z, J (nd, nd))`` supplies the flow value and
+    coordinate Jacobian for one sample; defaults to generic forward-mode AD
+    of ``flow_apply``.  The production driver passes the analytic
+    ``ferminet_apply_and_jac``.  ``chunk`` bounds HBM by processing the
+    batch in pieces through a ``lax.map`` (one executable, sequential
+    chunks) — required at large n with the AD fallback, whose tangent
+    fan-out materializes O(batch * n^2 * nd) pair-feature tangents.
     """
     sp_indices = np.asarray(sp_indices)  # host constant
 
@@ -53,13 +62,15 @@ def make_logp_fast(
         nd = n * dim
         rdtype = x.dtype
 
-        def u_and_jac(xf):
+        def u_and_jac(xx):
+            if jacobian is not None:
+                return jacobian(params, xx)
             flow_flat = lambda q: flow_apply(params, q.reshape(n, dim)).reshape(-1)
-            u_flat, jvp = jax.linearize(flow_flat, xf)
+            u_flat, jvp = jax.linearize(flow_flat, xx.reshape(-1))
             J = jax.vmap(jvp, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))
             return u_flat.reshape(n, dim), J
 
-        u, J = jax.vmap(u_and_jac)(x.reshape(B, nd))
+        u, J = jax.vmap(u_and_jac)(x)
 
         k = 2 * jnp.pi / L * jnp.asarray(sp_indices, rdtype)[state_indices]
         ang = jnp.einsum("bnd,bmd->bnm", u, k)

@@ -211,10 +211,14 @@ def main(argv=None):
         # MCMC hot path: Gram-Cholesky log-dets (Pallas on TPU) instead of
         # two LU slogdets per walker — ~4x faster sweeps, differentially
         # tested against make_logp (tests/test_fast_logp.py)
+        from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac
         from coulombgas_tpu.wavefunction.fast_logp import make_logp_fast
 
-        logp = make_logp_fast(flow_apply, sp_indices_twist, L,
-                              chunk=args.mc_microbatch or None)
+        logp = make_logp_fast(
+            flow_apply, sp_indices_twist, L,
+            chunk=args.mc_microbatch or None,
+            jacobian=lambda p, xx: ferminet_apply_and_jac(p, flow_cfg, xx),
+        )
 
     # ---- Ewald -------------------------------------------------------------
     G = np.asarray(cg.kpoints(dim, args.Gmax), rdtype)

@@ -61,12 +61,15 @@ def main():
                      [mpf(str(t)) for t in twist], args.Emax, dps=args.dps)
     )
 
-    pretrain(
+    params = pretrain(
         cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,
         path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
         log_every=args.log_every,
     )
+    from coulombgas_tpu.io.checkpoint import pretrained_model_filename, save_data
+
+    save_data(params, pretrained_model_filename(path))
 
     data = np.loadtxt(os.path.join(path, "data.txt"), ndmin=2)
     # converged estimate: plain mean over the final 20% of logged epochs

@@ -81,3 +81,28 @@ def test_fast_logp_translation_invariance():
     np.testing.assert_allclose(
         fast(x + shift, params, si), fast(x, params, si), rtol=1e-8, atol=1e-8
     )
+
+
+def test_fast_logp_analytic_jacobian_matches():
+    # production wiring: analytic flow Jacobian inside the fast logp
+    from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac
+
+    n, dim = 7, 2
+    L = float(np.sqrt(np.pi * n))
+    flow_cfg = cg.FermiNetConfig(2, 8, 8, L)
+    key = jax.random.PRNGKey(3)
+    params = cg.init_ferminet_params(key, flow_cfg, dim, jnp.float64)
+    flow_apply = lambda p, xx: cg.ferminet_apply(p, flow_cfg, xx)
+    sp_indices, _ = cg.sp_orbitals(dim, 9)
+    sp, _ = cg.twist_sort(sp_indices, np.full(dim, 0.25))
+    sp = np.asarray(sp[::-1].copy(), np.float64)
+    x = jax.random.uniform(key, (12, n, dim), jnp.float64, 0.0, L)
+    si = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (12, 1))
+
+    ad = make_logp_fast(flow_apply, sp, L, use_pallas=False)
+    analytic = make_logp_fast(
+        flow_apply, sp, L, use_pallas=False, chunk=4,
+        jacobian=lambda p, xx: ferminet_apply_and_jac(p, flow_cfg, xx),
+    )
+    np.testing.assert_allclose(analytic(x, params, si), ad(x, params, si),
+                               rtol=1e-10, atol=1e-10)

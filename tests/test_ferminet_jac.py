@@ -1,0 +1,49 @@
+"""Analytic FermiNet Jacobian vs generic forward-mode AD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import coulombgas_tpu as cg
+from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac
+
+
+def _jacfwd_ref(params, cfg, x):
+    n, dim = x.shape
+    flat = lambda xf: cg.ferminet_apply(params, cfg, xf.reshape(n, dim)).reshape(-1)
+    return jax.jacfwd(flat)(x.reshape(-1))
+
+
+@pytest.mark.parametrize("depth,dim,n", [(2, 2, 7), (3, 2, 5), (2, 3, 6), (4, 2, 4)])
+def test_analytic_jacobian_matches_jacfwd(depth, dim, n):
+    L = 5.0
+    cfg = cg.FermiNetConfig(depth, 8, 8, L)
+    key = jax.random.PRNGKey(depth * 10 + dim)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float64)
+    # init_stddev is small; scale weights up so the test is not trivially
+    # passing on a near-identity flow
+    params = jax.tree.map(lambda a: 30.0 * a, params)
+    x = jax.random.uniform(key, (n, dim), jnp.float64, 0.0, L)
+
+    z, J = ferminet_apply_and_jac(params, cfg, x)
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(cg.ferminet_apply(params, cfg, x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(J), np.asarray(_jacfwd_ref(params, cfg, x)), atol=1e-11
+    )
+
+
+def test_analytic_jacobian_translation_block_structure():
+    """Continuous-translation equivariance implies row sums of J are identity."""
+    cfg = cg.FermiNetConfig(2, 8, 8, 5.0)
+    key = jax.random.PRNGKey(0)
+    params = cg.init_ferminet_params(key, cfg, 2, jnp.float64)
+    x = jax.random.uniform(key, (6, 2), jnp.float64, 0.0, 5.0)
+    _, J = ferminet_apply_and_jac(params, cfg, x)
+    # sum over source particles l of the (i,b,l,a) blocks = d z_i / d a_global
+    block = J.reshape(6, 2, 6, 2).sum(axis=2)
+    np.testing.assert_allclose(
+        np.asarray(block), np.broadcast_to(np.eye(2), (6, 2, 2)), atol=1e-10
+    )
