@@ -19,6 +19,7 @@ from .models.transformer import (
     transformer_decode_step,
 )
 from .models.ferminet import FermiNetConfig, ferminet_apply, init_ferminet_params
+from .models.ferminet_jac import ferminet_apply_and_jac
 from .models.slater import logslaterdet, logslaterdet_ref
 from .sampling.autoregressive import make_autoregressive_sampler, make_classical_score
 from .sampling.mcmc import mcmc
@@ -26,6 +27,7 @@ from .wavefunction.logpsi import (
     make_logp,
     make_logphi_logjacdet,
     make_logpsi,
+    make_logpsi_fast,
     make_logpsi_grad_laplacian,
     make_quantum_score,
 )

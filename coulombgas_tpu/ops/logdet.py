@@ -44,6 +44,7 @@ __all__ = [
     "PIVOT_FLOOR",
     "chol_logdet_ref",
     "chol_logdet",
+    "chol_logdet_single",
     "gram_logabsdet",
     "planewave_gram_embed",
 ]
@@ -76,6 +77,18 @@ def chol_logdet_ref(A):
         colm = jnp.where((rows > k)[None, :] & ~bad[:, None], col, 0.0)
         A = A - colm[:, :, None] * (colm[:, None, :] * d_use[:, None, None])
     return ld
+
+
+def chol_logdet_single(A):
+    """log det of ONE SPD matrix — the differentiable building block.
+
+    Unlike slogdet (whose gradient rule routes through LU solves — the op
+    family with pathological batched-small-matrix performance on this TPU,
+    see module docstring), this is a chain of plain jnp ops, so any order of
+    forward/reverse AD stays in vectorizable territory.  Used by the AD-path
+    wavefunction assembly (make_logpsi_fast) under per-sample vmap.
+    """
+    return chol_logdet_ref(A[None])[0]
 
 
 def chol_logdet(A, use_pallas: bool | None = None, interpret: bool = False):

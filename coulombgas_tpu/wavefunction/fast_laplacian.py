@@ -45,7 +45,8 @@ def _cdtype(rdtype):
 
 
 def make_logpsi_grad_laplacian_analytic(
-    flow_apply, sp_indices, L, hutchinson: bool = True, forloop: bool = False
+    flow_apply, sp_indices, L, hutchinson: bool = True, forloop: bool = False,
+    flow_jac=None,
 ):
     """Batched (grad, laplacian) of log Psi with the analytic Slater part.
 
@@ -54,11 +55,19 @@ def make_logpsi_grad_laplacian_analytic(
     v^T H v estimate of its Laplacian (or the exact column loop with
     ``hutchinson=False``).
 
+    ``flow_jac(params, x) -> (z, J (nd, nd))``, when given, supplies the
+    analytic pair-local flow Jacobian (models/ferminet_jac.py): J comes
+    without the nd-tangent fan-out, and log|det J| becomes the
+    differentiable Gram-Cholesky 1/2 log det(J J^T) — its gradient and
+    Hutchinson Hessian-vector product then contain no LU and no fan-out.
+
     Returns ``fn(x, params, state_indices, key) -> (grad, laplacian)`` with
     grad (batch, n, dim) complex and laplacian (batch,) complex — a drop-in
     replacement for the engines from make_logpsi_grad_laplacian.
     """
     sp_indices = np.asarray(sp_indices)  # host constant (see autoregressive.py)
+    if flow_jac is not None:
+        from ..ops.logdet import chol_logdet_single
 
     def slater_grad_lap_u(k, u):
         """g (n,dim) and the Hessian pieces of log det D in flow space u."""
@@ -88,9 +97,12 @@ def make_logpsi_grad_laplacian_analytic(
         x_flat = x.reshape(-1)
         flow_flat = lambda xf: flow_apply(params, xf.reshape(n, dim)).reshape(-1)
 
-        u_flat, J = jax.linearize(flow_flat, x_flat)
-        J = jax.vmap(J, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))  # (mu, alpha)
-        u = u_flat.reshape(n, dim)
+        if flow_jac is not None:
+            u, J = flow_jac(params, x)
+        else:
+            u_flat, J = jax.linearize(flow_flat, x_flat)
+            J = jax.vmap(J, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))
+            u = u_flat.reshape(n, dim)
 
         # flow coordinate Laplacian: sum_alpha d^2 u_mu / dx_alpha^2
         def dir_second(e):
@@ -117,6 +129,9 @@ def make_logpsi_grad_laplacian_analytic(
 
         # ---- 1/2 log|det J| term -------------------------------------------
         def logjacdet(xf):
+            if flow_jac is not None:
+                _, Jl = flow_jac(params, xf.reshape(n, dim))
+                return 0.25 * chol_logdet_single(Jl @ Jl.T)
             jac = jax.jacfwd(flow_flat)(xf)
             return 0.5 * jnp.linalg.slogdet(jac)[1]
 

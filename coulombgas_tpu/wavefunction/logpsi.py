@@ -31,6 +31,7 @@ from ..models.slater import logslaterdet
 
 __all__ = [
     "make_logpsi",
+    "make_logpsi_fast",
     "make_logphi_logjacdet",
     "make_logpsi_grad_laplacian",
     "make_logp",
@@ -54,6 +55,31 @@ def make_logpsi(flow_apply, sp_indices, L):
         flow_flat = lambda xf: flow_apply(params, xf.reshape(n, dim)).reshape(-1)
         jac = jax.jacfwd(flow_flat)(x.reshape(-1))
         _, logjacdet = jnp.linalg.slogdet(jac)
+        return jnp.stack([log_phi.real + 0.5 * logjacdet, log_phi.imag])
+
+    return logpsi
+
+
+def make_logpsi_fast(flow_jac, sp_indices, L):
+    """logpsi via the analytic flow Jacobian + differentiable Gram log-det.
+
+    Same contract as ``make_logpsi`` — logpsi(x, params, state_idx) -> (2,)
+    [Re, Im] — but built for the TPU AD paths: ``flow_jac(params, x) ->
+    (z, J (nd, nd))`` is the pair-local analytic Jacobian
+    (models/ferminet_jac.py), and the 1/2 log|det J| term is
+    1/4 log det(J J^T) through the pivot-free Cholesky (ops/logdet.py), so
+    no jacfwd fan-out and no LU enter any derivative of log Psi (parameter
+    scores, coordinate gradients, the Laplacian's second order).
+    Differentially tested against make_logpsi in tests/test_logpsi_fast.py.
+    """
+    from ..ops.logdet import chol_logdet_single
+
+    sp_indices = np.asarray(sp_indices)
+
+    def logpsi(x, params, state_idx):
+        z, J = flow_jac(params, x)
+        log_phi = logslaterdet(jnp.asarray(sp_indices)[state_idx], z, L)
+        logjacdet = 0.5 * chol_logdet_single(J @ J.T)  # = log |det J|
         return jnp.stack([log_phi.real + 0.5 * logjacdet, log_phi.imag])
 
     return logpsi

@@ -203,21 +203,25 @@ def main(argv=None):
     print("#parameters in the flow model: %d" % ravel_pytree(params_flow)[0].size)
 
     flow_apply = lambda p, x: cg.ferminet_apply(p, flow_cfg, x)
-    logpsi_novmap = cg.make_logpsi(flow_apply, sp_indices_twist, L)
+    flow_jac = lambda p, x: cg.ferminet_apply_and_jac(p, flow_cfg, x)
     logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
     if args.slow_logp:
+        # escape hatch: generic-AD Jacobians + LU slogdets everywhere
+        logpsi_novmap = cg.make_logpsi(flow_apply, sp_indices_twist, L)
         logp = cg.make_logp(logpsi_novmap)
     else:
-        # MCMC hot path: Gram-Cholesky log-dets (Pallas on TPU) instead of
-        # two LU slogdets per walker — ~4x faster sweeps, differentially
-        # tested against make_logp (tests/test_fast_logp.py)
-        from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac
+        # production: analytic pair-local flow Jacobian + Gram-Cholesky
+        # log-dets (Pallas batched kernel in MCMC, differentiable jnp form
+        # in the AD paths) — no LU and no jacfwd fan-out anywhere hot;
+        # differentially tested in tests/test_fast_logp.py,
+        # tests/test_logpsi_fast.py
         from coulombgas_tpu.wavefunction.fast_logp import make_logp_fast
 
+        logpsi_novmap = cg.make_logpsi_fast(flow_jac, sp_indices_twist, L)
         logp = make_logp_fast(
             flow_apply, sp_indices_twist, L,
             chunk=args.mc_microbatch or None,
-            jacobian=lambda p, xx: ferminet_apply_and_jac(p, flow_cfg, xx),
+            jacobian=flow_jac,
         )
 
     # ---- Ewald -------------------------------------------------------------
@@ -291,6 +295,7 @@ def main(argv=None):
         logpsi_grad_laplacian = make_logpsi_grad_laplacian_analytic(
             flow_apply, sp_indices_twist, L,
             hutchinson=args.hutchinson, forloop=args.forloop_laplacian,
+            flow_jac=None if args.slow_logp else flow_jac,
         )
     else:
         logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(
