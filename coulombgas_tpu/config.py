@@ -31,6 +31,13 @@ jax.config.update("jax_threefry_partitionable", True)
 # here are tiny and bandwidth-bound, so the extra MXU passes are cheap.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# NOTE on x64: globally enabling it flips the DEFAULT dtypes (f64/i64) of
+# every jnp.ones/arange across the stack, which drags emulated-f64 and i64
+# ops into the TPU graphs (the n=49 pretrain update then crashes the TPU
+# compiler outright).  So x64 stays platform-policy-driven (enable_x64() on
+# CPU only), and the SR solve recovers f64-like accuracy in pure f32 via
+# Jacobi scaling + iterative refinement instead (optim/sr.py).
+
 # Persistent compilation cache: the AD graphs here are large and the TPU
 # compile path is slow, so executables are cached on disk across processes.
 _CACHE_DIR = os.environ.get(

@@ -32,7 +32,7 @@ def _ravel_batch(scores):
     return jax.vmap(lambda tree: ravel_pytree(tree)[0])(scores)
 
 
-def _solve_scaled(fisher, grads_raveled, damping, max_norm):
+def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 2):
     """Damped dense solve + trust-region scaling; returns the *negated* step.
 
     The centered quantum Fisher is PSD only up to roundoff; in f32 the damped
@@ -40,10 +40,40 @@ def _solve_scaled(fisher, grads_raveled, damping, max_norm):
     Cholesky would silently produce NaNs) and guard the trust-region scale
     against a non-positive g^T F^{-1} g.  A final finiteness mask turns a
     pathological solve into a null step instead of NaN parameters.
+
+    f32 conditioning: a plain f32 LU solve carries a relative error
+    ~ cond(F + damping I) * eps32, which near convergence (small gradients,
+    lambda_max/damping ~ 1e4-1e6) corrupts the natural-gradient direction
+    enough to stall training — measured: n=49 free-fermion pretraining
+    plateaus ~5e-3/particle above the oracle in plain f32 while f64
+    converges (PARITY.md).  Two pure-f32 measures recover the accuracy
+    (emulated-f64 inside the update graph crashes the TPU compiler):
+
+      * Jacobi scaling — solve (S M S) y = S g with S = diag(M)^(-1/2),
+        x = S y: identical solution in exact arithmetic, but the scaled
+        matrix has unit diagonal, collapsing the spread that dominates
+        cond(M) for Fisher matrices (score scales vary by ~1e3 across
+        parameter blocks, contributing cond ~ 1e6 that scaling removes);
+      * ``refine`` rounds of f32 iterative refinement with HIGHEST-precision
+        residual matvecs, which mops up the LU factorization error.
     """
-    fisher = fisher + damping * jnp.eye(fisher.shape[0], dtype=fisher.dtype)
-    updates = jax.scipy.linalg.solve(fisher, grads_raveled)
-    gnorm = jnp.sum(grads_raveled * updates)
+    dtype = fisher.dtype
+    M = fisher + damping * jnp.eye(fisher.shape[0], dtype=dtype)
+    if dtype == jnp.float64:
+        updates = jax.scipy.linalg.solve(M, grads_raveled)
+        gnorm = jnp.sum(grads_raveled * updates)
+    else:
+        s = jax.lax.rsqrt(jnp.diagonal(M))  # strictly positive: damped diag
+        Ms = M * s[:, None] * s[None, :]
+        gs = grads_raveled * s
+        lu_piv = jax.scipy.linalg.lu_factor(Ms)
+        y = jax.scipy.linalg.lu_solve(lu_piv, gs)
+        hi = jax.lax.Precision.HIGHEST
+        for _ in range(refine):
+            r = gs - jnp.dot(Ms, y, precision=hi)
+            y = y + jax.scipy.linalg.lu_solve(lu_piv, r)
+        updates = y * s
+        gnorm = jnp.sum(grads_raveled * updates)
     scale = jnp.minimum(jnp.sqrt(max_norm / jnp.maximum(gnorm, jnp.finfo(gnorm.dtype).tiny)), 1.0)
     updates = -scale * updates
     return jnp.where(jnp.isfinite(updates), updates, jnp.zeros_like(updates))

@@ -27,12 +27,18 @@ def sp_orbitals(dim: int, Emax: int = 60) -> tuple[np.ndarray, np.ndarray]:
     """
     n_max = int(np.floor(np.sqrt(Emax)))
     rng = np.arange(-n_max, n_max + 1)
-    grids = np.meshgrid(*([rng] * dim), indexing="ij")
+    # Ordering must match the reference BIT-FOR-BIT (same meshgrid axis
+    # order, same introsort tie-breaking among degenerate shells): the VAN's
+    # token embeddings are the (twisted) momentum VECTORS, so any other
+    # permutation within a degenerate shell defines a different network for
+    # the same checkpoint — reference-trained params would load but sample a
+    # different distribution (caught by the n=49 import parity check).
+    grids = np.meshgrid(*([rng] * dim))
     indices = np.stack([g.ravel() for g in grids], axis=-1)
     Es = np.sum(indices**2, axis=-1)
     keep = Es <= Emax
     indices, Es = indices[keep], Es[keep]
-    order = np.argsort(Es, kind="stable")
+    order = np.argsort(Es)
     return indices[order], Es[order]
 
 
@@ -45,7 +51,7 @@ def twist_sort(indices: np.ndarray, twist) -> tuple[np.ndarray, np.ndarray]:
     """
     twisted = np.asarray(indices, dtype=float) + np.asarray(twist, dtype=float)
     Es = np.sum(twisted**2, axis=-1)
-    order = np.argsort(Es, kind="stable")
+    order = np.argsort(Es)  # default introsort: reference tie-breaking
     return twisted[order], Es[order]
 
 

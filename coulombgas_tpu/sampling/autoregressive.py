@@ -63,7 +63,9 @@ def make_autoregressive_sampler(
 
     def _mask(state_idx):
         """(n, M) 0/1 mask of allowed states given the sampled prefix."""
-        band = jnp.tril(jnp.ones((n, M)), k=M - n)
+        # explicit f32: jnp.ones defaults to f64 under x64, which would drag
+        # emulated-f64 elementwise ops into every TPU logits evaluation
+        band = jnp.tril(jnp.ones((n, M), jnp.float32), k=M - n)
         idx_lb = jnp.concatenate([jnp.array([-1], dtype=state_idx.dtype), state_idx[:-1]])
         return jnp.where(jnp.arange(M)[None, :] > idx_lb[:, None], band, 0.0)
 

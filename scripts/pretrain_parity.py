@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--dps", type=int, default=400)
+    parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
     import jax
@@ -49,10 +50,11 @@ def main():
     twist = [0.25, 0.25] if args.dim == 2 else [0.25, 0.25, 0.25]
     _, Es = sp_orbitals(args.dim, args.Emax)
     cfg = TransformerConfig(Es.size, 2, 16, 4, 32)
-    key = jax.random.PRNGKey(42)
+    key = jax.random.PRNGKey(args.seed)
     params = init_transformer_params(key, cfg, args.dim, prec.real)
 
-    path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}")
+    path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}"
+                        + (f"_seed_{args.seed}" if args.seed != 42 else ""))
     os.makedirs(path, exist_ok=True)
 
     F_x, E_x, S_x = (

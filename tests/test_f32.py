@@ -158,3 +158,26 @@ def test_hybrid_fisher_f32_vs_f64():
     f32 = fishers(jnp.float32)
     scale = np.abs(f64).max()
     assert np.abs(f32 - f64).max() < 1e-4 * scale, np.abs(f32 - f64).max() / scale
+
+
+def test_sr_solve_scaling_refinement_restores_f64_accuracy():
+    """Fisher-like matrix (wide diagonal spread): scaled f32 solve ~ f64.
+
+    Fisher matrices here have score scales varying ~1e3 across parameter
+    blocks, so cond is dominated by the diagonal spread — exactly what the
+    Jacobi scaling in _solve_scaled removes before the f32 LU.
+    """
+    P = 512
+    key = jax.random.PRNGKey(8)
+    q, _ = jnp.linalg.qr(jax.random.normal(key, (P, P), jnp.float64))
+    eigs = 10.0 ** jnp.linspace(-2, 1, P)
+    A = (q * eigs) @ q.T
+    d = 10.0 ** jnp.linspace(-3, 3, P)  # per-block score-scale spread
+    fisher64 = A * d[:, None] * d[None, :]
+    grad64 = jax.random.normal(jax.random.PRNGKey(9), (P,), jnp.float64) * 1e-3
+    want = _solve_scaled(fisher64, grad64, damping=1e-3, max_norm=1e-3)
+
+    f32_args = (fisher64.astype(jnp.float32), grad64.astype(jnp.float32))
+    got = _solve_scaled(*f32_args, damping=1e-3, max_norm=1e-3)
+    rel = float(jnp.linalg.norm(got.astype(jnp.float64) - want) / jnp.linalg.norm(want))
+    assert rel < 1e-4, rel

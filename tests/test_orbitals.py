@@ -53,3 +53,26 @@ def test_manybody_orbitals_bruteforce():
     mb_idx, mb_Es = manybody_orbitals(n, dim, Ecut)
     assert mb_idx.shape == (len(expected), n, dim)
     assert np.array_equal(mb_Es, np.array(expected))
+
+
+def test_ordering_matches_reference_convention():
+    """Pin the exact enumeration + tie-breaking order (reference parity).
+
+    The VAN's token embeddings are the (twisted) momentum vectors, so the
+    ordering of degenerate states is part of the checkpoint format: any
+    permutation within a shell makes reference-trained parameters sample a
+    different distribution.  These rows were generated with the reference's
+    sp_orbitals/twist_sort (src/orbitals.py:22-55) at numpy's default
+    argsort; they pin both the meshgrid axis order and the introsort
+    tie-breaking.
+    """
+    indices, Es = sp_orbitals(2, 25)
+    np.testing.assert_array_equal(
+        indices[:9],
+        [[0, 0], [0, -1], [-1, 0], [1, 0], [0, 1], [-1, -1], [1, -1], [-1, 1], [1, 1]],
+    )
+    twisted, Es_t = twist_sort(indices, np.array([0.25, 0.25]))
+    np.testing.assert_allclose(
+        twisted[:6],
+        [[0.25, 0.25], [0.25, -0.75], [-0.75, 0.25], [-0.75, -0.75], [1.25, 0.25], [0.25, 1.25]],
+    )

@@ -63,8 +63,11 @@ def test_full_step_mesh_sizes_agree():
         np.testing.assert_allclose(a, a0, atol=1e-12)
         for k in d0:
             np.testing.assert_allclose(d[k], d0[k], rtol=1e-9, err_msg=k)
-        # atol floors reduction-order noise on near-zero parameter updates
-        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-14), p, p0)
+        # atol floors reduction-order noise on near-zero parameter updates:
+        # cross-mesh psum ordering perturbs the Fisher/grads at ~1e-16 rel,
+        # and the damped solve amplifies by its condition number (~1e3-1e4
+        # here) — measured ~3e-12 absolute on the updated params
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10), p, p0)
 
 
 def test_adam_path_runs():
