@@ -32,7 +32,8 @@ def _ravel_batch(scores):
     return jax.vmap(lambda tree: ravel_pytree(tree)[0])(scores)
 
 
-def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 2):
+def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
+                  jacobi: bool = False):
     """Damped dense solve + trust-region scaling; returns the *negated* step.
 
     The centered quantum Fisher is PSD only up to roundoff; in f32 the damped
@@ -41,29 +42,26 @@ def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 2):
     against a non-positive g^T F^{-1} g.  A final finiteness mask turns a
     pathological solve into a null step instead of NaN parameters.
 
-    f32 conditioning: a plain f32 LU solve carries a relative error
-    ~ cond(F + damping I) * eps32, which near convergence (small gradients,
-    lambda_max/damping ~ 1e4-1e6) corrupts the natural-gradient direction
-    enough to stall training — measured: n=49 free-fermion pretraining
-    plateaus ~5e-3/particle above the oracle in plain f32 while f64
-    converges (PARITY.md).  Two pure-f32 measures recover the accuracy
-    (emulated-f64 inside the update graph crashes the TPU compiler):
-
-      * Jacobi scaling — solve (S M S) y = S g with S = diag(M)^(-1/2),
-        x = S y: identical solution in exact arithmetic, but the scaled
-        matrix has unit diagonal, collapsing the spread that dominates
-        cond(M) for Fisher matrices (score scales vary by ~1e3 across
-        parameter blocks, contributing cond ~ 1e6 that scaling removes);
-      * ``refine`` rounds of f32 iterative refinement with HIGHEST-precision
-        residual matvecs, which mops up the LU factorization error.
+    Opt-in f32 accuracy measures (OFF by default — see PARITY.md, n=49):
+    ``jacobi`` solves (S M S) y = S g with S = diag(M)^(-1/2) — identical
+    solution in exact arithmetic, far better f32 conditioning when the
+    Fisher's diagonal spread dominates; ``refine`` adds rounds of f32
+    iterative refinement with HIGHEST-precision residual matvecs.  They are
+    not the production default because a MORE accurate f32 solve makes the
+    n=49 stage-1 SR dynamics *unstable*: the accurate step fully resolves
+    noise-dominated near-null Fisher directions (lambda ~ damping) that the
+    plain f32 solve's error effectively regularizes; empirically plain-f32
+    stalls 5e-3/particle above the oracle while the scaled variant
+    oscillates and diverges, and full-f64 (CPU) descends stably — large-n
+    stage-1 parity in reduced precision remains an open item.
     """
     dtype = fisher.dtype
     M = fisher + damping * jnp.eye(fisher.shape[0], dtype=dtype)
-    if dtype == jnp.float64:
+    if dtype == jnp.float64 or not (jacobi or refine):
         updates = jax.scipy.linalg.solve(M, grads_raveled)
         gnorm = jnp.sum(grads_raveled * updates)
     else:
-        s = jax.lax.rsqrt(jnp.diagonal(M))  # strictly positive: damped diag
+        s = jax.lax.rsqrt(jnp.diagonal(M)) if jacobi else jnp.ones_like(grads_raveled)
         Ms = M * s[:, None] * s[None, :]
         gs = grads_raveled * s
         lu_piv = jax.scipy.linalg.lu_factor(Ms)

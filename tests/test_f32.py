@@ -178,6 +178,6 @@ def test_sr_solve_scaling_refinement_restores_f64_accuracy():
     want = _solve_scaled(fisher64, grad64, damping=1e-3, max_norm=1e-3)
 
     f32_args = (fisher64.astype(jnp.float32), grad64.astype(jnp.float32))
-    got = _solve_scaled(*f32_args, damping=1e-3, max_norm=1e-3)
+    got = _solve_scaled(*f32_args, damping=1e-3, max_norm=1e-3, jacobi=True, refine=2)
     rel = float(jnp.linalg.norm(got.astype(jnp.float64) - want) / jnp.linalg.norm(want))
     assert rel < 1e-4, rel
