@@ -24,7 +24,8 @@ PINNED_BASELINE_SECONDS = 5.5144
 
 CONFIGS = [
     ("n13_batch8192", dict(n=13, Emax=25, batch=8192, microbatch=2048)),
-    ("n49_batch8192", dict(n=49, Emax=36, batch=8192, microbatch=128, mc_microbatch=512)),
+    # analytic jac+lap removes the AD fan-outs, so much larger microbatches fit
+    ("n49_batch8192", dict(n=49, Emax=36, batch=8192, microbatch=1024, mc_microbatch=512)),
 ]
 
 

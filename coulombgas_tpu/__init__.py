@@ -19,7 +19,7 @@ from .models.transformer import (
     transformer_decode_step,
 )
 from .models.ferminet import FermiNetConfig, ferminet_apply, init_ferminet_params
-from .models.ferminet_jac import ferminet_apply_and_jac
+from .models.ferminet_jac import ferminet_apply_and_jac, ferminet_apply_jac_lap
 from .models.slater import logslaterdet, logslaterdet_ref
 from .sampling.autoregressive import make_autoregressive_sampler, make_classical_score
 from .sampling.mcmc import mcmc

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .ferminet import FermiNetConfig, _sp_feature
 
-__all__ = ["ferminet_apply_and_jac"]
+__all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap"]
 
 
 def _pair_feature_grads(x, L):
@@ -58,6 +58,29 @@ def _pair_feature_grads(x, L):
     g = jnp.concatenate([g_cos, g_sin, g_d[..., None, :]], axis=-2)  # (n,n,C,dim)
     off = (1.0 - eye_n)[..., None, None]
     return tp0, g * off
+
+
+def _pair_feature_lap(x, L):
+    """Sum_a d^2 tp0_ij / d r_a^2 for the periodic pair features.
+
+    The coordinate Laplacian of tp0 is 2x this (tp0 depends on r = x_i - x_j,
+    so d^2/dx_i^2 = d^2/dx_j^2 = d^2/dr^2).  Diagonal (i == j) zeroed.
+    """
+    n, dim = x.shape
+    rij = x[:, None, :] - x[None, :, :]
+    k2, k1 = 2 * jnp.pi / L, jnp.pi / L
+    h_cos = -(k2**2) * jnp.cos(k2 * rij)  # (n, n, dim): per-component
+    h_sin = -(k2**2) * jnp.sin(k2 * rij)
+    eye_n = jnp.eye(n, dtype=x.dtype)
+    s, c = jnp.sin(k1 * rij), jnp.cos(k1 * rij)
+    d = jnp.linalg.norm(s + eye_n[..., None], axis=-1) * (1.0 - eye_n)
+    safe_d = jnp.where(d > 0, d, 1.0)
+    # d = |s|: d''_a = (s'_a^2 + s_a s''_a)/d - (s_a s'_a)^2 / d^3
+    sp_, spp = k1 * c, -(k1**2) * s
+    h_d = ((sp_**2 + s * spp) / safe_d[..., None]
+           - (s * sp_) ** 2 / safe_d[..., None] ** 3).sum(axis=-1)
+    h = jnp.concatenate([h_cos, h_sin, h_d[..., None]], axis=-1)  # (n, n, C)
+    return h * (1.0 - eye_n)[..., None]
 
 
 def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
@@ -119,3 +142,88 @@ def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
     J = jnp.einsum("isld,sb->ibld", Jsp, params["final"]["w"])
     J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
     return z, J.reshape(nd, nd)
+
+
+def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
+    """Forward + analytic Jacobian + analytic coordinate Laplacian.
+
+    Returns (z (n, dim), J (nd, nd), lap_z (nd,)) with
+    lap_z[mu] = sum_alpha d^2 z_flat[mu] / d x_flat[alpha]^2 — the quantity
+    the kinetic-energy engine otherwise evaluates with an nd-wide
+    jvp-of-jvp fan-out (O(n^3 * features) per walker); here it propagates
+    through the layers in closed form alongside the Jacobian state:
+
+        softplus(pre):  L_out = sigmoid(pre) * (L_in W)
+                              + sigmoid'(pre) * sum_{l,a} (d pre / d x_la)^2
+
+    where the squared-first-derivative sums come from the Jacobian blocks
+    already being carried (Jf W for the single-particle stream; the
+    pair-local A W / B W blocks for the two-particle stream).
+    Differentially tested against forward-over-forward AD of ferminet_apply.
+    """
+    n, dim = x.shape
+    nd = n * dim
+    eye_n = jnp.eye(n, dtype=x.dtype)
+
+    tp, g = _pair_feature_grads(x, cfg.L)
+    A, B = g, -g
+    Ltp = 2.0 * _pair_feature_lap(x, cfg.L)  # (n, n, C)
+    sp = jnp.zeros_like(x)
+    Jsp = jnp.zeros((n, dim, n, dim), x.dtype)
+    Lsp = jnp.zeros((n, dim), x.dtype)
+
+    def jac_of_f(Jsp, A, B):
+        Jmean = jnp.broadcast_to(Jsp.mean(axis=0, keepdims=True), Jsp.shape)
+        T = (
+            jnp.einsum("il,icd->icld", eye_n, A.sum(axis=1))
+            + B.transpose(0, 2, 1, 3)
+        ) / n
+        return jnp.concatenate([Jsp, Jmean, T], axis=1)
+
+    def lap_of_f(Lsp, Ltp):
+        Lmean = jnp.broadcast_to(Lsp.mean(axis=0, keepdims=True), Lsp.shape)
+        return jnp.concatenate([Lsp, Lmean, Ltp.mean(axis=1)], axis=-1)
+
+    def sp_step(layer, sp_in, tp_in, Jf, Lf):
+        pre = _sp_feature(sp_in, tp_in) @ layer["w"] + layer["b"]
+        sig = jax.nn.sigmoid(pre)
+        JfW = jnp.einsum("iqld,qs->isld", Jf, layer["w"])
+        act = jax.nn.softplus(pre)
+        Jact = sig[:, :, None, None] * JfW
+        Lact = sig * (Lf @ layer["w"]) + (sig * (1 - sig)) * (JfW**2).sum(axis=(2, 3))
+        return act, Jact, Lact
+
+    for i in range(cfg.depth - 1):
+        Jf = jac_of_f(Jsp, A, B)
+        Lf = lap_of_f(Lsp, Ltp)
+        sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][i], sp, tp, Jf, Lf)
+
+        w_tp = params["tp"][i]["w"]
+        pre_tp = tp @ w_tp + params["tp"][i]["b"]
+        sig_tp = jax.nn.sigmoid(pre_tp)
+        AW = jnp.einsum("ijcd,ce->ijed", A, w_tp)
+        BW = jnp.einsum("ijcd,ce->ijed", B, w_tp)
+        A_new = sig_tp[..., None] * AW
+        B_new = sig_tp[..., None] * BW
+        Ltp_new = sig_tp * (Ltp @ w_tp) + (sig_tp * (1 - sig_tp)) * (
+            (AW**2).sum(axis=-1) + (BW**2).sum(axis=-1)
+        )
+        tp_new = jax.nn.softplus(pre_tp)
+
+        if i == 0:  # first layer replaces the streams (reference src/flow.py:44-49)
+            sp, Jsp, Lsp = sp_new, Jsp_new, Lsp_new
+            tp, A, B, Ltp = tp_new, A_new, B_new, Ltp_new
+        else:
+            sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
+            tp, A, B, Ltp = tp + tp_new, A + A_new, B + B_new, Ltp + Ltp_new
+
+    Jf = jac_of_f(Jsp, A, B)
+    Lf = lap_of_f(Lsp, Ltp)
+    sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][-1], sp, tp, Jf, Lf)
+    sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
+
+    z = x + (sp @ params["final"]["w"] + params["final"]["b"])
+    J = jnp.einsum("isld,sb->ibld", Jsp, params["final"]["w"])
+    J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
+    lap_z = Lsp @ params["final"]["w"]  # (n, dim); x-term is linear
+    return z, J.reshape(nd, nd), lap_z.reshape(nd)

@@ -46,7 +46,7 @@ def _cdtype(rdtype):
 
 def make_logpsi_grad_laplacian_analytic(
     flow_apply, sp_indices, L, hutchinson: bool = True, forloop: bool = False,
-    flow_jac=None,
+    flow_jac=None, flow_jac_lap=None,
 ):
     """Batched (grad, laplacian) of log Psi with the analytic Slater part.
 
@@ -60,12 +60,18 @@ def make_logpsi_grad_laplacian_analytic(
     without the nd-tangent fan-out, and log|det J| becomes the
     differentiable Gram-Cholesky 1/2 log det(J J^T) — its gradient and
     Hutchinson Hessian-vector product then contain no LU and no fan-out.
+    ``flow_jac_lap(params, x) -> (z, J, lap_u (nd,))`` additionally supplies
+    the analytic coordinate Laplacian of the flow, eliminating the last
+    nd-wide fan-out (the jvp-of-jvp ``dir_second`` loop below) — the
+    dominant accumulate-phase cost at large n.  It supersedes ``flow_jac``.
 
     Returns ``fn(x, params, state_indices, key) -> (grad, laplacian)`` with
     grad (batch, n, dim) complex and laplacian (batch,) complex — a drop-in
     replacement for the engines from make_logpsi_grad_laplacian.
     """
     sp_indices = np.asarray(sp_indices)  # host constant (see autoregressive.py)
+    if flow_jac_lap is not None:
+        flow_jac = lambda params, x: flow_jac_lap(params, x)[:2]
     if flow_jac is not None:
         from ..ops.logdet import chol_logdet_single
 
@@ -97,19 +103,24 @@ def make_logpsi_grad_laplacian_analytic(
         x_flat = x.reshape(-1)
         flow_flat = lambda xf: flow_apply(params, xf.reshape(n, dim)).reshape(-1)
 
-        if flow_jac is not None:
-            u, J = flow_jac(params, x)
+        if flow_jac_lap is not None:
+            u, J, lap_u = flow_jac_lap(params, x)
         else:
-            u_flat, J = jax.linearize(flow_flat, x_flat)
-            J = jax.vmap(J, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))
-            u = u_flat.reshape(n, dim)
+            if flow_jac is not None:
+                u, J = flow_jac(params, x)
+            else:
+                u_flat, J = jax.linearize(flow_flat, x_flat)
+                J = jax.vmap(J, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype))
+                u = u_flat.reshape(n, dim)
 
-        # flow coordinate Laplacian: sum_alpha d^2 u_mu / dx_alpha^2
-        def dir_second(e):
-            f_e = lambda xf: jax.jvp(flow_flat, (xf,), (e,))[1]
-            return jax.jvp(f_e, (x_flat,), (e,))[1]
+            # flow coordinate Laplacian: sum_alpha d^2 u_mu / dx_alpha^2
+            def dir_second(e):
+                f_e = lambda xf: jax.jvp(flow_flat, (xf,), (e,))[1]
+                return jax.jvp(f_e, (x_flat,), (e,))[1]
 
-        lap_u = jax.vmap(dir_second, in_axes=1, out_axes=1)(jnp.eye(nd, dtype=rdtype)).sum(axis=1)
+            lap_u = jax.vmap(dir_second, in_axes=1, out_axes=1)(
+                jnp.eye(nd, dtype=rdtype)
+            ).sum(axis=1)
 
         g, E, Fdiag = slater_grad_lap_u(k, u)
         g_flat = g.reshape(-1)

@@ -204,6 +204,7 @@ def main(argv=None):
 
     flow_apply = lambda p, x: cg.ferminet_apply(p, flow_cfg, x)
     flow_jac = lambda p, x: cg.ferminet_apply_and_jac(p, flow_cfg, x)
+    flow_jac_lap = lambda p, x: cg.ferminet_apply_jac_lap(p, flow_cfg, x)
     logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
     if args.slow_logp:
         # escape hatch: generic-AD Jacobians + LU slogdets everywhere
@@ -295,7 +296,7 @@ def main(argv=None):
         logpsi_grad_laplacian = make_logpsi_grad_laplacian_analytic(
             flow_apply, sp_indices_twist, L,
             hutchinson=args.hutchinson, forloop=args.forloop_laplacian,
-            flow_jac=None if args.slow_logp else flow_jac,
+            flow_jac_lap=None if args.slow_logp else flow_jac_lap,
         )
     else:
         logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(

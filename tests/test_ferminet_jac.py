@@ -47,3 +47,32 @@ def test_analytic_jacobian_translation_block_structure():
     np.testing.assert_allclose(
         np.asarray(block), np.broadcast_to(np.eye(2), (6, 2, 2)), atol=1e-10
     )
+
+
+@pytest.mark.parametrize("depth,dim,n", [(2, 2, 6), (3, 2, 5), (2, 3, 5)])
+def test_analytic_laplacian_matches_ad(depth, dim, n):
+    from coulombgas_tpu.models.ferminet_jac import ferminet_apply_jac_lap
+
+    L = 5.0
+    cfg = cg.FermiNetConfig(depth, 8, 8, L)
+    key = jax.random.PRNGKey(depth + dim)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float64)
+    params = jax.tree.map(lambda a: 30.0 * a, params)
+    x = jax.random.uniform(key, (n, dim), jnp.float64, 0.0, L)
+    nd = n * dim
+
+    z, J, lap = ferminet_apply_jac_lap(params, cfg, x)
+    z_ref, J_ref = ferminet_apply_and_jac(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref), atol=1e-12)
+
+    # forward-over-forward oracle: sum of second directional derivatives
+    flat = lambda xf: cg.ferminet_apply(params, cfg, xf.reshape(n, dim)).reshape(-1)
+    def dir_second(e):
+        f_e = lambda xf: jax.jvp(flat, (xf,), (e,))[1]
+        return jax.jvp(f_e, (x.reshape(-1),), (e,))[1]
+    lap_ref = jax.vmap(dir_second, in_axes=1, out_axes=1)(
+        jnp.eye(nd, dtype=jnp.float64)
+    ).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(lap), np.asarray(lap_ref),
+                               rtol=1e-9, atol=1e-9)

@@ -90,3 +90,37 @@ def test_flowjac_hutchinson_matches_hutchinson():
     g2, l2 = gl_b(x, params, si, key)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-7, atol=1e-7)
+
+
+def test_flowjaclap_engine_matches_generic():
+    """Fully-analytic engine (flow_jac_lap) vs generic forward-over-reverse."""
+    flow_apply, flow_jac, params, sp, L, x, si = _setup(depth=3)
+    flow_cfg = cg.FermiNetConfig(3, 8, 8, L)
+    flow_jac_lap = lambda p, xx: cg.ferminet_apply_jac_lap(p, flow_cfg, xx)
+    logpsi = make_logpsi(flow_apply, sp, L)
+    _, gl_generic = make_logpsi_grad_laplacian(logpsi)
+    gl_full = make_logpsi_grad_laplacian_analytic(
+        flow_apply, sp, L, hutchinson=False, flow_jac_lap=flow_jac_lap
+    )
+    key = jax.random.PRNGKey(4)
+    g1, l1 = gl_generic(x, params, si, key)
+    g2, l2 = gl_full(x, params, si, key)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-7, atol=1e-7)
+
+
+def test_flowjaclap_hutchinson_matches():
+    flow_apply, flow_jac, params, sp, L, x, si = _setup()
+    flow_cfg = cg.FermiNetConfig(2, 8, 8, L)
+    flow_jac_lap = lambda p, xx: cg.ferminet_apply_jac_lap(p, flow_cfg, xx)
+    key = jax.random.PRNGKey(5)
+    gl_a = make_logpsi_grad_laplacian_analytic(
+        flow_apply, sp, L, hutchinson=True, flow_jac=None
+    )
+    gl_b = make_logpsi_grad_laplacian_analytic(
+        flow_apply, sp, L, hutchinson=True, flow_jac_lap=flow_jac_lap
+    )
+    g1, l1 = gl_a(x, params, si, key)
+    g2, l2 = gl_b(x, params, si, key)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-7, atol=1e-7)
