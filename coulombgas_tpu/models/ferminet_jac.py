@@ -7,13 +7,21 @@ The flow's structure closes the Jacobian analytically:
 
   * the two-particle stream is PAIR-LOCAL through every layer
     (tp'_ij = tp_ij + softplus(tp_ij W)), so its derivative lives entirely in
-    two (n, n, C, dim) blocks:  A_ij = d tp_ij / d x_i,  B_ij = d tp_ij / d x_j
+    two (n, n, dim, C) blocks:  A_ij = d tp_ij / d x_i,  B_ij = d tp_ij / d x_j
     — propagated by cheap feature-space matmuls, never densified;
   * only the mean-field terms (mean_i sp, mean_j tp) couple particles, and
     their derivatives are rank-structured:  d(mean_j tp_ij)/dx_l =
     (1/n)(delta_{il} sum_j A_ij + B_il);
-  * the single-particle stream's dense Jacobian Jsp (n, S, n, dim) updates by
-    one einsum per layer:  Jsp' = Jsp + sigmoid(pre) * (Jf @ W).
+  * the single-particle stream's dense Jacobian Jsp (n, n, dim, S) updates by
+    one matmul per layer.
+
+All derivative tensors are laid out FEATURE-LAST, so every per-layer
+contraction is a plain matmul on the trailing axis (lane dimension on TPU)
+with no transposes, and the layer Jacobian Jf = [Jsp, mean Jsp, T] is never
+concatenated: the weight matrix is split into its three row blocks instead
+(JfW = Jsp@W1 + (mean Jsp)@W2 + T@W3, with the delta_{il} part of T applied
+as a fused diagonal add).  This removes ~1.5 GB of HBM traffic per Metropolis
+sweep at n=13, batch 8192, vs the naive concatenate-then-einsum form.
 
 Total cost O(n^2 * features * dim) per walker — n-fold fewer FLOPs than the
 jacfwd fan-out and no O(n^3)-sized intermediates.  Differentially tested
@@ -37,8 +45,10 @@ __all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap"]
 def _pair_feature_grads(x, L):
     """d tp0_ij / d r_ij for the periodic pair features, plus tp0 itself.
 
-    Returns (tp0 (n,n,C), g (n,n,C,dim)) with C = 2*dim+1 and the diagonal
-    (i == j) of g zeroed: r_ii is identically 0, so tp0_ii is constant in x.
+    Returns (tp0 (n,n,C), g (n,n,dim,C)) with C = 2*dim+1 — derivative axis
+    BEFORE the feature axis so downstream weight contractions are trailing-
+    axis matmuls — and the diagonal (i == j) of g zeroed: r_ii is identically
+    0, so tp0_ii is constant in x.
     """
     n, dim = x.shape
     rij = x[:, None, :] - x[None, :, :]
@@ -49,13 +59,13 @@ def _pair_feature_grads(x, L):
     tp0 = jnp.concatenate([c2, s2, dij[..., None]], axis=-1)
 
     eye_d = jnp.eye(dim, dtype=x.dtype)
-    # cos block: d cos(2pi/L r_a') / d r_a = -(2pi/L) sin(2pi/L r_a) delta_aa'
-    g_cos = -(2 * jnp.pi / L) * s2[..., :, None] * eye_d
-    g_sin = (2 * jnp.pi / L) * c2[..., :, None] * eye_d
-    # dij = |sin(pi/L r)| (off-diagonal): d/d r_a = (pi/L) s_a cos(pi/L r_a)/dij
+    # cos block: d cos(2pi/L r_c) / d r_d = -(2pi/L) sin(2pi/L r_c) delta_cd
+    g_cos = -(2 * jnp.pi / L) * s2[..., None, :] * eye_d
+    g_sin = (2 * jnp.pi / L) * c2[..., None, :] * eye_d
+    # dij = |sin(pi/L r)| (off-diagonal): d/d r_d = (pi/L) s_d cos(pi/L r_d)/dij
     safe_d = jnp.where(dij > 0, dij, 1.0)
     g_d = (jnp.pi / L) * s1 * jnp.cos(jnp.pi / L * rij) / safe_d[..., None]
-    g = jnp.concatenate([g_cos, g_sin, g_d[..., None, :]], axis=-2)  # (n,n,C,dim)
+    g = jnp.concatenate([g_cos, g_sin, g_d[..., None]], axis=-1)  # (n,n,dim,C)
     off = (1.0 - eye_n)[..., None, None]
     return tp0, g * off
 
@@ -83,6 +93,27 @@ def _pair_feature_lap(x, L):
     return h * (1.0 - eye_n)[..., None]
 
 
+def _split_w(w, spsize):
+    """Split the sp-layer weight rows by the feature blocks [sp, mean sp, tp]."""
+    return w[:spsize], w[spsize : 2 * spsize], w[2 * spsize :]
+
+
+def _jfw(Jsp, A_sum, B, w, spsize, eye_n, n):
+    """(d f / d x) @ W without materializing the concatenated Jf.
+
+    Jsp (n,n,dim,S): d sp_{i,s} / d x_{l,d} stored [i,l,d,s];
+    A_sum (n,dim,C) = sum_j d tp_ij / d x_i;  B (n,n,dim,C) = d tp_ij / d x_j.
+    Returns (n,n,dim,S') = sum_q (d f_{i,q} / d x_{l,d}) W[q, :].
+    """
+    w1, w2, w3 = _split_w(w, spsize)
+    out = Jsp @ w1
+    out = out + (Jsp.mean(axis=0) @ w2)  # broadcast over i
+    # d(mean_j tp_ij)/dx_l = (1/n)(delta_il sum_j A + B_il): the delta part is
+    # a diagonal add fused into the elementwise chain (no (n,C,n,dim) tensor).
+    out = out + (B @ w3 + eye_n[:, :, None, None] * (A_sum @ w3)[:, None]) / n
+    return out
+
+
 def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
     """Forward pass + analytic Jacobian: x (n, dim) -> (z (n, dim), J (nd, nd)).
 
@@ -94,38 +125,25 @@ def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
     eye_n = jnp.eye(n, dtype=x.dtype)
 
     tp, g = _pair_feature_grads(x, cfg.L)
-    A = g  # d tp_ij / d x_i
-    B = -g  # d tp_ij / d x_j
+    A, B = g, -g  # d tp_ij / d x_i, d tp_ij / d x_j  (n,n,dim,C)
     sp = jnp.zeros_like(x)
-    Jsp = jnp.zeros((n, dim, n, dim), x.dtype)  # d sp_{i,s} / d x_{l,a}
+    Jsp = jnp.zeros((n, n, dim, dim), x.dtype)  # d sp_{i,s} / d x_{l,d} at [i,l,d,s]
 
-    def jac_of_f(Jsp, A, B):
-        """Jacobian of the per-layer feature f = [sp, mean sp, mean_j tp]."""
-        Jmean = jnp.broadcast_to(Jsp.mean(axis=0, keepdims=True), Jsp.shape)
-        # d (mean_j tp_ijc) / d x_{l,a} = (1/n)(delta_il sum_j A + B_il)
-        T = (
-            jnp.einsum("il,icd->icld", eye_n, A.sum(axis=1))
-            + B.transpose(0, 2, 1, 3)
-        ) / n
-        return jnp.concatenate([Jsp, Jmean, T], axis=1)  # (n, 2S+C, n, dim)
-
-    def sp_step(layer, sp_in, tp_in, Jf):
+    def sp_step(layer, sp_in, tp_in, Jsp, A, B):
         pre = _sp_feature(sp_in, tp_in) @ layer["w"] + layer["b"]
         act = jax.nn.softplus(pre)
-        Jact = jax.nn.sigmoid(pre)[:, :, None, None] * jnp.einsum(
-            "iqld,qs->isld", Jf, layer["w"]
-        )
+        JfW = _jfw(Jsp, A.sum(axis=1), B, layer["w"], sp_in.shape[-1], eye_n, n)
+        Jact = jax.nn.sigmoid(pre)[:, None, None, :] * JfW
         return act, Jact
 
     for i in range(cfg.depth - 1):
-        Jf = jac_of_f(Jsp, A, B)
-        sp_new, Jsp_new = sp_step(params["sp"][i], sp, tp, Jf)
+        sp_new, Jsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A, B)
 
         w_tp = params["tp"][i]["w"]
         pre_tp = tp @ w_tp + params["tp"][i]["b"]
-        sig_tp = jax.nn.sigmoid(pre_tp)[..., None]  # (n, n, C', 1)
-        A_new = sig_tp * jnp.einsum("ijcd,ce->ijed", A, w_tp)
-        B_new = sig_tp * jnp.einsum("ijcd,ce->ijed", B, w_tp)
+        sig_tp = jax.nn.sigmoid(pre_tp)[..., None, :]  # (n, n, 1, C')
+        A_new = sig_tp * (A @ w_tp)
+        B_new = sig_tp * (B @ w_tp)
         tp_new = jax.nn.softplus(pre_tp)
 
         if i == 0:  # first layer replaces the streams (reference src/flow.py:44-49)
@@ -134,12 +152,11 @@ def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
             sp, Jsp = sp + sp_new, Jsp + Jsp_new
             tp, A, B = tp + tp_new, A + A_new, B + B_new
 
-    Jf = jac_of_f(Jsp, A, B)
-    sp_new, Jsp_new = sp_step(params["sp"][-1], sp, tp, Jf)
+    sp_new, Jsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A, B)
     sp, Jsp = sp + sp_new, Jsp + Jsp_new
 
     z = x + (sp @ params["final"]["w"] + params["final"]["b"])
-    J = jnp.einsum("isld,sb->ibld", Jsp, params["final"]["w"])
+    J = (Jsp @ params["final"]["w"]).transpose(0, 3, 1, 2)  # (i,b,l,d)
     J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
     return z, J.reshape(nd, nd)
 
@@ -169,44 +186,35 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
     A, B = g, -g
     Ltp = 2.0 * _pair_feature_lap(x, cfg.L)  # (n, n, C)
     sp = jnp.zeros_like(x)
-    Jsp = jnp.zeros((n, dim, n, dim), x.dtype)
+    Jsp = jnp.zeros((n, n, dim, dim), x.dtype)
     Lsp = jnp.zeros((n, dim), x.dtype)
-
-    def jac_of_f(Jsp, A, B):
-        Jmean = jnp.broadcast_to(Jsp.mean(axis=0, keepdims=True), Jsp.shape)
-        T = (
-            jnp.einsum("il,icd->icld", eye_n, A.sum(axis=1))
-            + B.transpose(0, 2, 1, 3)
-        ) / n
-        return jnp.concatenate([Jsp, Jmean, T], axis=1)
 
     def lap_of_f(Lsp, Ltp):
         Lmean = jnp.broadcast_to(Lsp.mean(axis=0, keepdims=True), Lsp.shape)
         return jnp.concatenate([Lsp, Lmean, Ltp.mean(axis=1)], axis=-1)
 
-    def sp_step(layer, sp_in, tp_in, Jf, Lf):
+    def sp_step(layer, sp_in, tp_in, Jsp, A, B, Lf):
         pre = _sp_feature(sp_in, tp_in) @ layer["w"] + layer["b"]
         sig = jax.nn.sigmoid(pre)
-        JfW = jnp.einsum("iqld,qs->isld", Jf, layer["w"])
+        JfW = _jfw(Jsp, A.sum(axis=1), B, layer["w"], sp_in.shape[-1], eye_n, n)
         act = jax.nn.softplus(pre)
-        Jact = sig[:, :, None, None] * JfW
-        Lact = sig * (Lf @ layer["w"]) + (sig * (1 - sig)) * (JfW**2).sum(axis=(2, 3))
+        Jact = sig[:, None, None, :] * JfW
+        Lact = sig * (Lf @ layer["w"]) + (sig * (1 - sig)) * (JfW**2).sum(axis=(1, 2))
         return act, Jact, Lact
 
     for i in range(cfg.depth - 1):
-        Jf = jac_of_f(Jsp, A, B)
         Lf = lap_of_f(Lsp, Ltp)
-        sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][i], sp, tp, Jf, Lf)
+        sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A, B, Lf)
 
         w_tp = params["tp"][i]["w"]
         pre_tp = tp @ w_tp + params["tp"][i]["b"]
         sig_tp = jax.nn.sigmoid(pre_tp)
-        AW = jnp.einsum("ijcd,ce->ijed", A, w_tp)
-        BW = jnp.einsum("ijcd,ce->ijed", B, w_tp)
-        A_new = sig_tp[..., None] * AW
-        B_new = sig_tp[..., None] * BW
+        AW = A @ w_tp  # (n, n, dim, C')
+        BW = B @ w_tp
+        A_new = sig_tp[..., None, :] * AW
+        B_new = sig_tp[..., None, :] * BW
         Ltp_new = sig_tp * (Ltp @ w_tp) + (sig_tp * (1 - sig_tp)) * (
-            (AW**2).sum(axis=-1) + (BW**2).sum(axis=-1)
+            (AW**2).sum(axis=-2) + (BW**2).sum(axis=-2)
         )
         tp_new = jax.nn.softplus(pre_tp)
 
@@ -217,13 +225,12 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
             sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
             tp, A, B, Ltp = tp + tp_new, A + A_new, B + B_new, Ltp + Ltp_new
 
-    Jf = jac_of_f(Jsp, A, B)
     Lf = lap_of_f(Lsp, Ltp)
-    sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][-1], sp, tp, Jf, Lf)
+    sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A, B, Lf)
     sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
 
     z = x + (sp @ params["final"]["w"] + params["final"]["b"])
-    J = jnp.einsum("isld,sb->ibld", Jsp, params["final"]["w"])
+    J = (Jsp @ params["final"]["w"]).transpose(0, 3, 1, 2)
     J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
     lap_z = Lsp @ params["final"]["w"]  # (n, dim); x-term is linear
     return z, J.reshape(nd, nd), lap_z.reshape(nd)
