@@ -41,6 +41,8 @@ def make_logp_fast(
     use_pallas: bool | None = None,
     chunk: int | None = None,
     jacobian=None,
+    use_fused: bool | None = None,
+    fused_interpret: bool = False,
 ):
     """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
 
@@ -56,6 +58,19 @@ def make_logp_fast(
     fan-out materializes O(batch * n^2 * nd) pair-feature tangents.
     """
     sp_indices = np.asarray(sp_indices)  # host constant
+
+    def _fused_ok(x):
+        from ..ops.pallas_fused_logp import MAX_FUSED_N
+
+        if fused_interpret:
+            return True
+        if use_fused is not None:
+            return use_fused
+        return (
+            jax.default_backend() == "tpu"
+            and x.dtype == jnp.float32
+            and x.shape[1] <= MAX_FUSED_N
+        )
 
     def logp_impl(x, params, state_indices):
         B, n, dim = x.shape
@@ -73,6 +88,12 @@ def make_logp_fast(
         u, J = jax.vmap(u_and_jac)(x)
 
         k = 2 * jnp.pi / L * jnp.asarray(sp_indices, rdtype)[state_indices]
+        if _fused_ok(x):
+            # one Pallas kernel for the whole tail: D build + both Grams +
+            # complex/real Cholesky log-dets (ops/pallas_fused_logp.py)
+            from ..ops.pallas_fused_logp import fused_logp_pallas
+
+            return fused_logp_pallas(u, k, J, L, interpret=fused_interpret)
         ang = jnp.einsum("bnd,bmd->bnm", u, k)
         c = L ** (-dim / 2)
         Dr, Di = c * jnp.cos(ang), c * jnp.sin(ang)
