@@ -7,8 +7,10 @@ The flow's structure closes the Jacobian analytically:
 
   * the two-particle stream is PAIR-LOCAL through every layer
     (tp'_ij = tp_ij + softplus(tp_ij W)), so its derivative lives entirely in
-    two (n, n, dim, C) blocks:  A_ij = d tp_ij / d x_i,  B_ij = d tp_ij / d x_j
-    — propagated by cheap feature-space matmuls, never densified;
+    ONE (n, n, dim, C) block A_ij = d tp_ij / d x_i — the conjugate block is
+    B_ij = d tp_ij / d x_j = -A_ij exactly (pair features depend on x only
+    through r_ij = x_i - x_j and the pair-local updates preserve the sign),
+    so it is never materialized;
   * only the mean-field terms (mean_i sp, mean_j tp) couple particles, and
     their derivatives are rank-structured:  d(mean_j tp_ij)/dx_l =
     (1/n)(delta_{il} sum_j A_ij + B_il);
@@ -98,19 +100,23 @@ def _split_w(w, spsize):
     return w[:spsize], w[spsize : 2 * spsize], w[2 * spsize :]
 
 
-def _jfw(Jsp, A_sum, B, w, spsize, eye_n, n):
+def _jfw(Jsp, A, w, spsize, eye_n, n):
     """(d f / d x) @ W without materializing the concatenated Jf.
 
     Jsp (n,n,dim,S): d sp_{i,s} / d x_{l,d} stored [i,l,d,s];
-    A_sum (n,dim,C) = sum_j d tp_ij / d x_i;  B (n,n,dim,C) = d tp_ij / d x_j.
-    Returns (n,n,dim,S') = sum_q (d f_{i,q} / d x_{l,d}) W[q, :].
+    A (n,n,dim,C) = d tp_ij / d x_i.  The other pair block is B = -A exactly
+    (the pair features depend on x only through r_ij = x_i - x_j, and the
+    pair-local layer updates A' = sig*(A W) preserve the sign relation), so
+    it is never materialized.  Returns (n,n,dim,S') =
+    sum_q (d f_{i,q} / d x_{l,d}) W[q, :].
     """
     w1, w2, w3 = _split_w(w, spsize)
     out = Jsp @ w1
     out = out + (Jsp.mean(axis=0) @ w2)  # broadcast over i
-    # d(mean_j tp_ij)/dx_l = (1/n)(delta_il sum_j A + B_il): the delta part is
-    # a diagonal add fused into the elementwise chain (no (n,C,n,dim) tensor).
-    out = out + (B @ w3 + eye_n[:, :, None, None] * (A_sum @ w3)[:, None]) / n
+    # d(mean_j tp_ij)/dx_l = (1/n)(delta_il sum_j A + B_il) with B = -A: the
+    # delta part is a fused diagonal add (no (n,C,n,dim) tensor).
+    AW = A @ w3
+    out = out + (eye_n[:, :, None, None] * AW.sum(axis=1)[:, None] - AW) / n
     return out
 
 
@@ -125,34 +131,33 @@ def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
     eye_n = jnp.eye(n, dtype=x.dtype)
 
     tp, g = _pair_feature_grads(x, cfg.L)
-    A, B = g, -g  # d tp_ij / d x_i, d tp_ij / d x_j  (n,n,dim,C)
+    A = g  # d tp_ij / d x_i  (n,n,dim,C); d tp_ij / d x_j = -A throughout
     sp = jnp.zeros_like(x)
     Jsp = jnp.zeros((n, n, dim, dim), x.dtype)  # d sp_{i,s} / d x_{l,d} at [i,l,d,s]
 
-    def sp_step(layer, sp_in, tp_in, Jsp, A, B):
+    def sp_step(layer, sp_in, tp_in, Jsp, A):
         pre = _sp_feature(sp_in, tp_in) @ layer["w"] + layer["b"]
         act = jax.nn.softplus(pre)
-        JfW = _jfw(Jsp, A.sum(axis=1), B, layer["w"], sp_in.shape[-1], eye_n, n)
+        JfW = _jfw(Jsp, A, layer["w"], sp_in.shape[-1], eye_n, n)
         Jact = jax.nn.sigmoid(pre)[:, None, None, :] * JfW
         return act, Jact
 
     for i in range(cfg.depth - 1):
-        sp_new, Jsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A, B)
+        sp_new, Jsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A)
 
         w_tp = params["tp"][i]["w"]
         pre_tp = tp @ w_tp + params["tp"][i]["b"]
         sig_tp = jax.nn.sigmoid(pre_tp)[..., None, :]  # (n, n, 1, C')
         A_new = sig_tp * (A @ w_tp)
-        B_new = sig_tp * (B @ w_tp)
         tp_new = jax.nn.softplus(pre_tp)
 
         if i == 0:  # first layer replaces the streams (reference src/flow.py:44-49)
-            sp, Jsp, tp, A, B = sp_new, Jsp_new, tp_new, A_new, B_new
+            sp, Jsp, tp, A = sp_new, Jsp_new, tp_new, A_new
         else:
             sp, Jsp = sp + sp_new, Jsp + Jsp_new
-            tp, A, B = tp + tp_new, A + A_new, B + B_new
+            tp, A = tp + tp_new, A + A_new
 
-    sp_new, Jsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A, B)
+    sp_new, Jsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A)
     sp, Jsp = sp + sp_new, Jsp + Jsp_new
 
     z = x + (sp @ params["final"]["w"] + params["final"]["b"])
@@ -183,7 +188,7 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
     eye_n = jnp.eye(n, dtype=x.dtype)
 
     tp, g = _pair_feature_grads(x, cfg.L)
-    A, B = g, -g
+    A = g  # d tp_ij / d x_j = -A throughout (see ferminet_apply_and_jac)
     Ltp = 2.0 * _pair_feature_lap(x, cfg.L)  # (n, n, C)
     sp = jnp.zeros_like(x)
     Jsp = jnp.zeros((n, n, dim, dim), x.dtype)
@@ -193,10 +198,10 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
         Lmean = jnp.broadcast_to(Lsp.mean(axis=0, keepdims=True), Lsp.shape)
         return jnp.concatenate([Lsp, Lmean, Ltp.mean(axis=1)], axis=-1)
 
-    def sp_step(layer, sp_in, tp_in, Jsp, A, B, Lf):
+    def sp_step(layer, sp_in, tp_in, Jsp, A, Lf):
         pre = _sp_feature(sp_in, tp_in) @ layer["w"] + layer["b"]
         sig = jax.nn.sigmoid(pre)
-        JfW = _jfw(Jsp, A.sum(axis=1), B, layer["w"], sp_in.shape[-1], eye_n, n)
+        JfW = _jfw(Jsp, A, layer["w"], sp_in.shape[-1], eye_n, n)
         act = jax.nn.softplus(pre)
         Jact = sig[:, None, None, :] * JfW
         Lact = sig * (Lf @ layer["w"]) + (sig * (1 - sig)) * (JfW**2).sum(axis=(1, 2))
@@ -204,29 +209,27 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
 
     for i in range(cfg.depth - 1):
         Lf = lap_of_f(Lsp, Ltp)
-        sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A, B, Lf)
+        sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][i], sp, tp, Jsp, A, Lf)
 
         w_tp = params["tp"][i]["w"]
         pre_tp = tp @ w_tp + params["tp"][i]["b"]
         sig_tp = jax.nn.sigmoid(pre_tp)
-        AW = A @ w_tp  # (n, n, dim, C')
-        BW = B @ w_tp
+        AW = A @ w_tp  # (n, n, dim, C'); BW = -AW, so (BW^2) = (AW^2)
         A_new = sig_tp[..., None, :] * AW
-        B_new = sig_tp[..., None, :] * BW
         Ltp_new = sig_tp * (Ltp @ w_tp) + (sig_tp * (1 - sig_tp)) * (
-            (AW**2).sum(axis=-2) + (BW**2).sum(axis=-2)
+            2.0 * (AW**2).sum(axis=-2)
         )
         tp_new = jax.nn.softplus(pre_tp)
 
         if i == 0:  # first layer replaces the streams (reference src/flow.py:44-49)
             sp, Jsp, Lsp = sp_new, Jsp_new, Lsp_new
-            tp, A, B, Ltp = tp_new, A_new, B_new, Ltp_new
+            tp, A, Ltp = tp_new, A_new, Ltp_new
         else:
             sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
-            tp, A, B, Ltp = tp + tp_new, A + A_new, B + B_new, Ltp + Ltp_new
+            tp, A, Ltp = tp + tp_new, A + A_new, Ltp + Ltp_new
 
     Lf = lap_of_f(Lsp, Ltp)
-    sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A, B, Lf)
+    sp_new, Jsp_new, Lsp_new = sp_step(params["sp"][-1], sp, tp, Jsp, A, Lf)
     sp, Jsp, Lsp = sp + sp_new, Jsp + Jsp_new, Lsp + Lsp_new
 
     z = x + (sp @ params["final"]["w"] + params["final"]["b"])

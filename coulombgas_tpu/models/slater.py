@@ -62,5 +62,12 @@ def _logslaterdet_jvp(primals, tangents):
     k = 2 * jnp.pi / L * indices
     k_dot_dx = dx @ k.T  # (n, n): row i = k_j . dx_i
     # tr(D^{-1} dD) with dD = D * (i k.dx); contract without forming D^{-1} D.
+    # D^{-1} stays an LU inverse: a Gram-form inverse (ops/logdet.py) squares
+    # the conditioning, and near-node walkers (two electrons close => two
+    # near-equal rows of D) then lose ALL f32 digits in the kinetic energy
+    # (caught by tests/test_f32.py::test_identity_flow_kinetic_f32).  The
+    # well-conditioned-by-construction flow-Jacobian Gram is handled
+    # closed-form instead (logdet_spd_single), which is where the batched-LU
+    # traffic in the AD paths actually was.
     tangent_out = jnp.sum(D * (1j * k_dot_dx) * jnp.linalg.inv(D).T)
     return primal_out, tangent_out

@@ -45,6 +45,9 @@ __all__ = [
     "chol_logdet_ref",
     "chol_logdet",
     "chol_logdet_single",
+    "logdet_spd_single",
+    "gj_inverse_single",
+    "gram_inverse_single",
     "gram_logabsdet",
     "planewave_gram_embed",
 ]
@@ -89,6 +92,75 @@ def chol_logdet_single(A):
     wavefunction assembly (make_logpsi_fast) under per-sample vmap.
     """
     return chol_logdet_ref(A[None])[0]
+
+
+def gj_inverse_single(A):
+    """Inverse of ONE symmetric/Hermitian positive-definite matrix.
+
+    Unrolled no-pivot Gauss-Jordan elimination — positive definiteness makes
+    every pivot (a Schur-complement diagonal) positive, so no pivot search is
+    needed and every step is a plain vectorized multiply-add: no LU custom
+    call enters the graph, which keeps this fast under per-sample ``vmap``
+    on TPU (the batched-small-matrix LU path runs ~40x off roofline there,
+    see module docstring) and forward/reverse differentiable to any order.
+    Works for real symmetric and complex Hermitian A (the pivots of an HPD
+    matrix are real; a vanishing pivot is floored like in ``chol_logdet``).
+    """
+    m = A.shape[-1]
+    dtype = A.dtype
+    rdtype = jnp.finfo(dtype).dtype  # real counterpart for the pivot guard
+    floor = jnp.asarray(PIVOT_FLOOR, rdtype)
+    M = jnp.eye(m, dtype=dtype)
+    rows = jnp.arange(m)
+    for k in range(m):
+        d = A[k, k]
+        d_re = d.real if jnp.iscomplexobj(A) else d
+        d_use = jnp.where(d_re < floor, jnp.asarray(1.0, rdtype), d_re)
+        rowA = A[k, :] / d_use
+        rowM = M[k, :] / d_use
+        c = jnp.where(rows == k, 0.0, A[:, k])[:, None]
+        A = A - c * rowA[None, :]
+        M = M - c * rowM[None, :]
+        is_k = (rows == k)[:, None]
+        A = jnp.where(is_k, rowA[None, :], A)
+        M = jnp.where(is_k, rowM[None, :], M)
+    return M
+
+
+def gram_inverse_single(D):
+    """D^{-1} of ONE square complex (or real) matrix via its Gram form.
+
+    D^{-1} = (D^H D)^{-1} D^H with the Hermitian-PD Gram inverted by
+    ``gj_inverse_single`` — no LU custom call, fully batchable under vmap.
+    Conditioning is squared (like all Gram-form ops here); differentially
+    tested against jnp.linalg.inv in tests/test_logdet.py.
+    """
+    Dh = D.conj().T if jnp.iscomplexobj(D) else D.T
+    return gj_inverse_single(Dh @ D) @ Dh
+
+
+@jax.custom_jvp
+def logdet_spd_single(A):
+    """log det of ONE SPD matrix with a closed-form derivative rule.
+
+    Primal: the pivot-free Cholesky (``chol_logdet_single``).  Tangent:
+    tr(A^{-1} dA) with the inverse from ``gj_inverse_single`` — generic AD
+    would instead chain through all m unrolled elimination steps, saving
+    every intermediate Schur complement as a residual (O(m) full-matrix
+    residuals per sample); the closed form is one inverse and one
+    contraction, and being a custom_jvp it transposes for reverse mode and
+    nests for the forward-over-reverse Hessian paths (Hutchinson).
+    """
+    return chol_logdet_single(A)
+
+
+@logdet_spd_single.defjvp
+def _logdet_spd_jvp(primals, tangents):
+    (A,), (dA,) = primals, tangents
+    primal = chol_logdet_single(A)
+    inv = gj_inverse_single(A)
+    # A (and so inv) symmetric: tr(A^{-1} dA) = sum(inv * dA)
+    return primal, jnp.sum(inv * dA)
 
 
 def chol_logdet(A, use_pallas: bool | None = None, interpret: bool = False):

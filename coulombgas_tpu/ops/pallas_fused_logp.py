@@ -121,8 +121,9 @@ def _fused_logp_kernel(ut_ref, kt_ref, jt_ref, out_ref, h_r, h_i, g_s,
     out_ref[0, :] = ld_h[0, 0] + 0.5 * ld_g[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret"))
-def fused_logp_pallas(u, kvec, J, L: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "batch_last"))
+def fused_logp_pallas(u, kvec, J, L: float, interpret: bool = False,
+                      batch_last: bool = False):
     """logp = log det(D^H D) + 1/2 log det(J^T J) for a walker batch.
 
     Args:
@@ -130,17 +131,23 @@ def fused_logp_pallas(u, kvec, J, L: float, interpret: bool = False):
       kvec: (B, n, dim) momentum vectors of the occupied orbitals.
       J: (B, nd, nd) flow coordinate Jacobians.
       L: box size (static).
+      batch_last: inputs already transposed — u (n, dim, B), kvec (n, dim, B),
+        J (nd, nd, B), as produced by ops/pallas_flow_jac.py — skip the
+        moveaxis.
     Returns: (B,) logp, f32.
     """
-    B, n, dim = u.shape
+    if batch_last:
+        ut, kt, jt = u, kvec, J
+        n, dim, B = u.shape
+    else:
+        ut = jnp.moveaxis(u, 0, -1)  # (n, dim, B)
+        kt = jnp.moveaxis(kvec, 0, -1)
+        jt = jnp.moveaxis(J, 0, -1)  # (nd, nd, B)
+        B, n, dim = u.shape
     nd = n * dim
     c = float(L) ** (-dim / 2)
     nblocks = pl.cdiv(B, LANES)
     padded = nblocks * LANES
-
-    ut = jnp.moveaxis(u, 0, -1)  # (n, dim, B)
-    kt = jnp.moveaxis(kvec, 0, -1)
-    jt = jnp.moveaxis(J, 0, -1)  # (nd, nd, B)
     if padded != B:
         pad = padded - B
         ut = jnp.pad(ut, ((0, 0), (0, 0), (0, pad)))
@@ -170,6 +177,10 @@ def fused_logp_pallas(u, kvec, J, L: float, interpret: bool = False):
             pltpu.VMEM((n, n, LANES), u.dtype),
             pltpu.VMEM((nd, nd, LANES), u.dtype),
         ],
+        # n=49 needs ~18 MB of scoped VMEM (J block + G scratch at 4.9 MB
+        # each); the 16 MB default is the only binding limit, the chip has
+        # 128 MB.  Leave headroom up to n=57 (~25 MB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ut, kt, jt)
     return out[0, :B]

@@ -73,7 +73,7 @@ def make_logpsi_grad_laplacian_analytic(
     if flow_jac_lap is not None:
         flow_jac = lambda params, x: flow_jac_lap(params, x)[:2]
     if flow_jac is not None:
-        from ..ops.logdet import chol_logdet_single
+        from ..ops.logdet import logdet_spd_single
 
     def slater_grad_lap_u(k, u):
         """g (n,dim) and the Hessian pieces of log det D in flow space u."""
@@ -81,6 +81,8 @@ def make_logpsi_grad_laplacian_analytic(
         cdtype = _cdtype(u.dtype)
         k_dot_u = u @ k.T
         D = L ** (-dim / 2) * jnp.exp(1j * k_dot_u.astype(cdtype))
+        # LU inverse on purpose: the Gram form squares cond(D) and loses all
+        # f32 digits on near-node walkers (see models/slater.py).
         M = jnp.linalg.inv(D)
 
         # E^a = (D * k_{j,a}) M, stacked over a: (dim, n, n)
@@ -142,7 +144,7 @@ def make_logpsi_grad_laplacian_analytic(
         def logjacdet(xf):
             if flow_jac is not None:
                 _, Jl = flow_jac(params, xf.reshape(n, dim))
-                return 0.25 * chol_logdet_single(Jl @ Jl.T)
+                return 0.25 * logdet_spd_single(Jl @ Jl.T)
             jac = jax.jacfwd(flow_flat)(xf)
             return 0.5 * jnp.linalg.slogdet(jac)[1]
 

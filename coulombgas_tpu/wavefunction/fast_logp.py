@@ -43,6 +43,7 @@ def make_logp_fast(
     jacobian=None,
     use_fused: bool | None = None,
     fused_interpret: bool = False,
+    pallas_flow_cfg=None,
 ):
     """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
 
@@ -76,6 +77,25 @@ def make_logp_fast(
         B, n, dim = x.shape
         nd = n * dim
         rdtype = x.dtype
+
+        if pallas_flow_cfg is not None and _fused_ok(x):
+            # all-Pallas path: batch-in-lanes flow fwd+jac kernel feeding the
+            # fused log-det tail in its native batch-last layout — the whole
+            # Metropolis logp is two kernels with no XLA tensor shuffling.
+            from ..ops.pallas_flow_jac import MAX_FLOW_N, flow_u_jac_pallas
+            from ..ops.pallas_fused_logp import fused_logp_pallas
+
+            if n <= MAX_FLOW_N:
+                u_t, J_t = flow_u_jac_pallas(
+                    params, pallas_flow_cfg, x, interpret=fused_interpret
+                )
+                kt = jnp.moveaxis(
+                    2 * jnp.pi / L * jnp.asarray(sp_indices, rdtype)[state_indices],
+                    0, -1,
+                )
+                return fused_logp_pallas(
+                    u_t, kt, J_t, L, batch_last=True, interpret=fused_interpret
+                )
 
         def u_and_jac(xx):
             if jacobian is not None:

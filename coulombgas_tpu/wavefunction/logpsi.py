@@ -72,14 +72,14 @@ def make_logpsi_fast(flow_jac, sp_indices, L):
     scores, coordinate gradients, the Laplacian's second order).
     Differentially tested against make_logpsi in tests/test_logpsi_fast.py.
     """
-    from ..ops.logdet import chol_logdet_single
+    from ..ops.logdet import logdet_spd_single
 
     sp_indices = np.asarray(sp_indices)
 
     def logpsi(x, params, state_idx):
         z, J = flow_jac(params, x)
         log_phi = logslaterdet(jnp.asarray(sp_indices)[state_idx], z, L)
-        logjacdet = 0.5 * chol_logdet_single(J @ J.T)  # = log |det J|
+        logjacdet = 0.5 * logdet_spd_single(J @ J.T)  # = log |det J|
         return jnp.stack([log_phi.real + 0.5 * logjacdet, log_phi.imag])
 
     return logpsi

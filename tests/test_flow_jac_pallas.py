@@ -1,0 +1,53 @@
+"""Batch-in-lanes Pallas FermiNet forward+Jacobian kernel vs the jnp path.
+
+Runs the actual kernel code in interpret mode on CPU (the real TPU path is
+exercised by the production bench and parity runs).  The kernel feeds the
+fused log-det tail (ops/pallas_fused_logp.py) in batch-last layout, so the
+combined two-kernel logp is also checked against the slogdet oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import coulombgas_tpu as cg
+from coulombgas_tpu.ops.pallas_flow_jac import flow_u_jac_pallas
+from coulombgas_tpu.wavefunction.fast_logp import make_logp_fast
+
+from test_fast_logp import _setup
+
+
+@pytest.mark.parametrize("depth,dim,n", [(2, 2, 7), (3, 2, 5), (2, 3, 6), (4, 2, 4)])
+def test_flow_jac_kernel_matches_jnp(depth, dim, n):
+    L = 3.21
+    key = jax.random.PRNGKey(depth + dim + n)
+    cfg = cg.FermiNetConfig(depth, 16, 16, L)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float32)
+    B = 9  # exercises lane padding too
+    x = jax.random.uniform(key, (B, n, dim), jnp.float32, 0.0, L)
+    u_t, J_t = flow_u_jac_pallas(params, cfg, x, interpret=True)
+    u_ref, J_ref = jax.vmap(lambda q: cg.ferminet_apply_and_jac(params, cfg, q))(x)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(u_t), -1, 0), np.asarray(u_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(J_t), -1, 0), np.asarray(J_ref), atol=1e-5
+    )
+
+
+def test_all_pallas_logp_matches_slogdet():
+    """make_logp_fast with the full two-kernel path == the slogdet assembly."""
+    flow_apply, params, sp_twist, L, x, si = _setup(
+        n=7, dim=2, Emax=9, batch=12, dtype=jnp.float32
+    )
+    cfg = cg.FermiNetConfig(2, 8, 8, L)
+    jac = lambda p, q: cg.ferminet_apply_and_jac(p, cfg, q)
+    unfused = make_logp_fast(flow_apply, sp_twist, L, use_pallas=False,
+                             jacobian=jac, use_fused=False)
+    all_pallas = make_logp_fast(flow_apply, sp_twist, L, jacobian=jac,
+                                pallas_flow_cfg=cfg, fused_interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(all_pallas(x, params, si)), np.asarray(unfused(x, params, si)),
+        rtol=0, atol=5e-3,
+    )

@@ -86,3 +86,52 @@ def test_planewave_gram_embed_matches_complex_slogdet():
     got = 0.5 * chol_logdet_ref(embed)  # = 2 Re log det D
     want = 2.0 * jnp.linalg.slogdet(D)[1]
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_gj_inverse_spd_real_and_hermitian():
+    from coulombgas_tpu.ops.logdet import gj_inverse_single
+
+    key = jax.random.PRNGKey(5)
+    B = jax.random.normal(key, (9, 9), jnp.float64)
+    A = B @ B.T + 9 * jnp.eye(9)
+    np.testing.assert_allclose(gj_inverse_single(A), jnp.linalg.inv(A),
+                               rtol=1e-10, atol=1e-10)
+    kr, ki = jax.random.split(key)
+    C = jax.random.normal(kr, (7, 7), jnp.float64) + 1j * jax.random.normal(
+        ki, (7, 7), jnp.float64
+    )
+    H = C.conj().T @ C + 7 * jnp.eye(7)
+    np.testing.assert_allclose(gj_inverse_single(H), jnp.linalg.inv(H),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_gram_inverse_matches_linalg_inv():
+    from coulombgas_tpu.ops.logdet import gram_inverse_single
+
+    key = jax.random.PRNGKey(6)
+    kr, ki = jax.random.split(key)
+    D = jax.random.normal(kr, (11, 11), jnp.float64) + 1j * jax.random.normal(
+        ki, (11, 11), jnp.float64
+    )
+    np.testing.assert_allclose(gram_inverse_single(D), jnp.linalg.inv(D),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_logdet_spd_custom_jvp_grad_and_hvp():
+    """The closed-form derivative rule == generic AD through the Cholesky,
+    in both reverse mode and forward-over-reverse (the Hutchinson path)."""
+    from coulombgas_tpu.ops.logdet import chol_logdet_single, logdet_spd_single
+
+    key = jax.random.PRNGKey(7)
+    J = jnp.eye(8, dtype=jnp.float64) + 0.3 * jax.random.normal(
+        key, (8, 8), jnp.float64
+    )
+
+    f_new = lambda J: logdet_spd_single(J @ J.T)
+    f_old = lambda J: chol_logdet_single(J @ J.T)
+    np.testing.assert_allclose(f_new(J), f_old(J), rtol=1e-12)
+    np.testing.assert_allclose(jax.grad(f_new)(J), jax.grad(f_old)(J),
+                               rtol=1e-9, atol=1e-10)
+    v = jax.random.normal(jax.random.PRNGKey(8), J.shape, jnp.float64)
+    hvp = lambda f: jax.jvp(jax.grad(f), (J,), (v,))[1]
+    np.testing.assert_allclose(hvp(f_new), hvp(f_old), rtol=1e-8, atol=1e-9)
