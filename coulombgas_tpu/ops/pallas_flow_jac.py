@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ferminet import FermiNetConfig
 
-__all__ = ["flow_u_jac_pallas", "flow_jac_lanes", "MAX_FLOW_N"]
+__all__ = ["flow_u_jac_pallas", "flow_u_jac_pallas_large",
+           "flow_jac_lanes", "MAX_FLOW_N", "MAX_FLOW_N_LARGE"]
 
 # Mosaic requires lane blocks of exactly 128, and the per-block VMEM
 # footprint scales as n^2 * S * LANES (three live (n, n, dim, S, 128) tiles
@@ -256,3 +257,227 @@ def flow_u_jac_pallas(params, cfg: FermiNetConfig, x, interpret: bool = False):
     J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)
     J = J + jnp.eye(nd, dtype=x.dtype)[:, :, None]
     return u[:, :, :B], J[:, :, :B]
+
+
+# ---------------------------------------------------------------------------
+# Large-n path: per-layer kernels with particle-row chunking.
+#
+# For n > 32 the whole-network kernel's VMEM footprint (three live
+# (n, n, dim, S, 128) tiles) exceeds the chip budget.  But the layer
+# recurrence couples particle ROWS i only through two means (mean_i sp and
+# mean_i Jsp), so each layer splits into an embarrassingly-parallel kernel
+# over (i-chunk, lane-block) grid cells, with the means computed between
+# kernels by two cheap XLA reductions over the HBM-resident state.  HBM
+# traffic is a handful of passes over the (n, n, dim, S, B) Jacobian state
+# per sweep — bandwidth-trivial next to the layout-padded XLA alternative.
+# Depth-2 flows only (the production configuration); other depths fall back
+# to the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _layer0_kernel(xc_ref, xf_ref, eyec_ref, eyed5_ref,
+                   spw_ref, spb_ref, tpw_ref, tpb_ref,
+                   sp_ref, jsp_ref, tp_ref, a_ref, *, n, dim, L, lanes, ic):
+    """First flow layer (stream replacement) for rows i in one chunk."""
+    k2, k1 = 2 * jnp.pi / L, jnp.pi / L
+    xc = xc_ref[:]  # (ic, dim, LANES)
+    xf = xf_ref[:]  # (n, dim, LANES)
+    eyec = eyec_ref[:]  # (ic, n, 1, 1): delta_{i in chunk, j}
+    offc = 1.0 - eyec
+    eyed5 = eyed5_ref[:]
+    spw, spb = spw_ref[:], spb_ref[:]
+    tpw, tpb = tpw_ref[:], tpb_ref[:]
+
+    rij = xc[:, None] - xf[None, :]  # (ic, n, dim, LANES)
+    c2, s2 = jnp.cos(k2 * rij), jnp.sin(k2 * rij)
+    s1 = jnp.sin(k1 * rij)
+    dij = jnp.sqrt(((s1 + eyec) ** 2).sum(axis=2, keepdims=True)) * offc
+    tp_blocks = [c2, s2, dij]
+
+    safe_d = jnp.where(dij > 0, dij, 1.0)
+    g_cos = -k2 * s2[:, :, None, :, :] * eyed5
+    g_sin = k2 * c2[:, :, None, :, :] * eyed5
+    v5 = (k1 * s1 * jnp.cos(k1 * rij) / safe_d)[:, :, None, :, :]
+    g_d = (v5 * eyed5).sum(axis=3, keepdims=True)
+    off5 = (1.0 - eyec)[..., None]
+    A_blocks = [g_cos * off5, g_sin * off5, g_d * off5]
+
+    # sp stream: layer-0 sp and mean(sp) are zero; only the tp-mean block of
+    # the feature vector contributes (weight rows [2*dim, 2*dim + C)).
+    tp_m = [b.mean(axis=1) for b in tp_blocks]
+    pre = _contract_blocks(tp_m, spw, 2 * dim) + spb
+    sig = jax.lax.logistic(pre)
+    sp_ref[:] = _softplus(pre)
+
+    AW = _contract_blocks(A_blocks, spw, 2 * dim)  # (ic, n, dim, S', LANES)
+    eyec5 = eyec[..., None]
+    JfW = (eyec5 * AW.sum(axis=1)[:, None] - AW) / n
+    jsp_ref[:] = sig[:, None, None, :, :] * JfW
+
+    pre_tp = _contract_blocks(tp_blocks, tpw) + tpb
+    sig_tp = jax.lax.logistic(pre_tp)
+    tp_ref[:] = _softplus(pre_tp)
+    a_ref[:] = sig_tp[:, :, None, :, :] * _contract_blocks(A_blocks, tpw)
+
+
+def _final_layer_kernel(xc_ref, spc_ref, tpc_ref, ac_ref, jspc_ref,
+                        spmean_ref, jmean_ref, eyec_ref,
+                        spw_ref, spb_ref, fw_ref, fb_ref,
+                        u_ref, j_ref, *, n, dim, L, lanes, ic):
+    """Last sp layer (residual) + final linear head for one row chunk."""
+    xc = xc_ref[:]
+    sp_in = spc_ref[:]  # (ic, S, LANES)
+    tp_in = tpc_ref[:]  # (ic, n, C', LANES)
+    A_in = ac_ref[:]  # (ic, n, dim, C', LANES)
+    Jsp_in = jspc_ref[:]  # (ic, n, dim, S, LANES)
+    spmean = spmean_ref[:]  # (S, LANES)
+    jmean = jmean_ref[:]  # (n, dim, S, LANES)
+    eyec = eyec_ref[:]
+    spw, spb = spw_ref[:], spb_ref[:]
+    fw, fb = fw_ref[:], fb_ref[:]
+
+    S_in = sp_in.shape[1]
+    pre = _contract(sp_in, spw, 0)
+    pre = pre + _contract(spmean[None], spw, S_in)
+    pre = pre + _contract(tp_in.mean(axis=1), spw, 2 * S_in) + spb
+    sig = jax.lax.logistic(pre)
+    sp = sp_in + _softplus(pre)
+
+    JfW = _contract(Jsp_in, spw, 0)
+    JfW = JfW + _contract(jmean, spw, S_in)[None]
+    AW = _contract(A_in, spw, 2 * S_in)
+    eyec5 = eyec[..., None]
+    JfW = JfW + (eyec5 * AW.sum(axis=1)[:, None] - AW) / n
+    Jsp = Jsp_in + sig[:, None, None, :, :] * JfW
+
+    u_ref[:] = xc + _contract(sp, fw) + fb
+    j_ref[:] = _contract(Jsp, fw)  # (ic, n, dim, dimout, LANES)
+
+
+def _large_ichunk(n: int) -> int:
+    for ic in (8, 7, 6, 5, 4, 3, 2):
+        if n % ic == 0:
+            return ic
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def flow_u_jac_pallas_large(params, cfg: FermiNetConfig, x,
+                            interpret: bool = False):
+    """Row-chunked two-kernel flow fwd+jac for 32 < n <= MAX_FLOW_N_LARGE.
+
+    Same contract as ``flow_u_jac_pallas``: x (B, n, dim) -> u (n, dim, B),
+    J (nd, nd, B).  Depth-2 flows only.
+    """
+    B, n, dim = x.shape
+    nd = n * dim
+    assert cfg.depth == 2, "large-n Pallas path supports depth-2 flows"
+    lanes = 128
+    nblocks = pl.cdiv(B, lanes)
+    padded = nblocks * lanes
+    ic = _large_ichunk(n)
+    nchunks = n // ic
+    S, C2 = cfg.spsize, cfg.tpsize
+    dtype = x.dtype
+
+    xt = jnp.moveaxis(x, 0, -1)
+    if padded != B:
+        xt = jnp.concatenate(
+            [xt, jnp.broadcast_to(xt[:, :, :1], (n, dim, padded - B))], axis=-1
+        )
+
+    eye4 = np.eye(n, dtype=np.float32)[:, :, None, None]
+    eyed5 = np.eye(dim, dtype=np.float32)[None, None, :, :, None]
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, b: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    w0T = params["sp"][0]["w"].T
+    b0 = params["sp"][0]["b"][:, None]
+    t0T = params["tp"][0]["w"].T
+    tb0 = params["tp"][0]["b"][:, None]
+
+    sp1, Jsp1, tp1, A1 = pl.pallas_call(
+        functools.partial(_layer0_kernel, n=n, dim=dim, L=float(cfg.L),
+                          lanes=lanes, ic=ic),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, S, padded), dtype),
+            jax.ShapeDtypeStruct((n, n, dim, S, padded), dtype),
+            jax.ShapeDtypeStruct((n, n, C2, padded), dtype),
+            jax.ShapeDtypeStruct((n, n, dim, C2, padded), dtype),
+        ),
+        grid=(nchunks, nblocks),
+        in_specs=[
+            pl.BlockSpec((ic, dim, lanes), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, dim, lanes), lambda i, b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, 1, 1), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(eyed5), full(w0T), full(b0), full(t0T), full(tb0),
+        ],
+        out_specs=(
+            pl.BlockSpec((ic, S, lanes), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, dim, S, lanes), lambda i, b: (i, 0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, C2, lanes), lambda i, b: (i, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, dim, C2, lanes), lambda i, b: (i, 0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(xt, xt, eye4, eyed5, w0T, b0, t0T, tb0)
+
+    # cross-row coupling of the next layer: two reductions over rows.
+    spmean = sp1.mean(axis=0)  # (S, B)
+    jmean = Jsp1.mean(axis=0)  # (n, dim, S, B)
+
+    w1T = params["sp"][1]["w"].T
+    b1 = params["sp"][1]["b"][:, None]
+    fwT = params["final"]["w"].T
+    fb = params["final"]["b"][:, None]
+
+    u, J5 = pl.pallas_call(
+        functools.partial(_final_layer_kernel, n=n, dim=dim, L=float(cfg.L),
+                          lanes=lanes, ic=ic),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, dim, padded), dtype),
+            jax.ShapeDtypeStruct((n, n, dim, dim, padded), dtype),
+        ),
+        grid=(nchunks, nblocks),
+        in_specs=[
+            pl.BlockSpec((ic, dim, lanes), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, S, lanes), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, C2, lanes), lambda i, b: (i, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, dim, C2, lanes), lambda i, b: (i, 0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, dim, S, lanes), lambda i, b: (i, 0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, lanes), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, dim, S, lanes), lambda i, b: (0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, 1, 1), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(w1T), full(b1), full(fwT), full(fb),
+        ],
+        out_specs=(
+            pl.BlockSpec((ic, dim, lanes), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic, n, dim, dim, lanes), lambda i, b: (i, 0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(xt, sp1, tp1, A1, Jsp1, spmean, jmean, eye4, w1T, b1, fwT, fb)
+
+    J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)
+    J = J + jnp.eye(nd, dtype=dtype)[:, :, None]
+    return u[:, :, :B], J[:, :, :B]
+
+
+MAX_FLOW_N_LARGE = 57

@@ -79,14 +79,31 @@ def make_logp_fast(
         rdtype = x.dtype
 
         if pallas_flow_cfg is not None and _fused_ok(x):
-            # all-Pallas path: batch-in-lanes flow fwd+jac kernel feeding the
-            # fused log-det tail in its native batch-last layout — the whole
-            # Metropolis logp is two kernels with no XLA tensor shuffling.
-            from ..ops.pallas_flow_jac import MAX_FLOW_N, flow_u_jac_pallas
+            # all-Pallas path: batch-in-lanes flow fwd+jac kernel(s) feeding
+            # the fused log-det tail in its native batch-last layout — the
+            # whole Metropolis logp is back-to-back kernels with no XLA
+            # tensor shuffling.  n <= 32 runs the whole network in one
+            # kernel; larger n uses the row-chunked per-layer kernels
+            # (depth-2 flows).
+            from ..ops.pallas_flow_jac import (
+                MAX_FLOW_N, MAX_FLOW_N_LARGE,
+                flow_u_jac_pallas, flow_u_jac_pallas_large,
+            )
             from ..ops.pallas_fused_logp import fused_logp_pallas
 
+            flow_kernel = None
             if n <= MAX_FLOW_N:
-                u_t, J_t = flow_u_jac_pallas(
+                flow_kernel = flow_u_jac_pallas
+            # measured negative result (PERF.md): at n=49 the row-chunked
+            # per-layer kernels + inter-kernel glue are ~17% SLOWER than
+            # XLA's fused fwd+jac — the VPU-bound nd x nd Cholesky tail
+            # dominates there, so the flow kernel stops mattering.  Kept
+            # available for experimentation, off in production.
+            use_large = False
+            if use_large and n <= MAX_FLOW_N_LARGE and pallas_flow_cfg.depth == 2:
+                flow_kernel = flow_u_jac_pallas_large
+            if flow_kernel is not None:
+                u_t, J_t = flow_kernel(
                     params, pallas_flow_cfg, x, interpret=fused_interpret
                 )
                 kt = jnp.moveaxis(

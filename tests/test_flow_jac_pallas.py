@@ -51,3 +51,24 @@ def test_all_pallas_logp_matches_slogdet():
         np.asarray(all_pallas(x, params, si)), np.asarray(unfused(x, params, si)),
         rtol=0, atol=5e-3,
     )
+
+
+@pytest.mark.parametrize("dim,n", [(2, 9), (3, 8)])
+def test_flow_jac_large_path_matches_jnp(dim, n):
+    """Row-chunked per-layer kernels (the n>32 path) vs the jnp Jacobian."""
+    from coulombgas_tpu.ops.pallas_flow_jac import flow_u_jac_pallas_large
+
+    L = 4.1
+    key = jax.random.PRNGKey(dim + n)
+    cfg = cg.FermiNetConfig(2, 16, 16, L)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float32)
+    B = 9
+    x = jax.random.uniform(key, (B, n, dim), jnp.float32, 0.0, L)
+    u_t, J_t = flow_u_jac_pallas_large(params, cfg, x, interpret=True)
+    u_ref, J_ref = jax.vmap(lambda q: cg.ferminet_apply_and_jac(params, cfg, q))(x)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(u_t), -1, 0), np.asarray(u_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(J_t), -1, 0), np.asarray(J_ref), atol=1e-5
+    )
