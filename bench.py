@@ -6,13 +6,17 @@ accumulation + hybrid-SR update) — at the two stated configurations:
 
     n=13, Emax=25, global batch 8192   (primary; round-1 pin for vs_baseline)
     n=49, Emax=36, global batch 8192   (scaling config; microbatched)
+    n=57, Emax=49, batch 512           (reference production shape,
+                                        run/submit.py:29-41; one acc round)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 ``vs_baseline`` is speedup of the primary config relative to the round-1
 measurement on a single TPU v5e chip (the reference publishes no wall-clock
 numbers — see BASELINE.md; the round-1 number is the pinned yardstick, so
-values > 1 mean faster).  ``detail`` carries per-phase timings (sample /
-accumulate / apply) for each config.
+values > 1 mean faster).  ``detail`` carries, per config, the per-phase
+timings (sample / accumulate / apply), the XLA-counted FLOPs and achieved
+TFLOP/s of the accumulate program (the step's FLOP-dominant phase), and the
+device-memory peak.
 """
 
 import json
@@ -26,6 +30,10 @@ CONFIGS = [
     ("n13_batch8192", dict(n=13, Emax=25, batch=8192, microbatch=2048)),
     # analytic jac+lap removes the AD fan-outs, so much larger microbatches fit
     ("n49_batch8192", dict(n=49, Emax=36, batch=8192, microbatch=1024, mc_microbatch=512)),
+    # reference production flags: n=57 Emax=49 batch 512 acc_steps 16
+    # (run/submit.py:29-41); one sample+accumulate round + apply is timed,
+    # a production epoch is 16 rounds + one apply.
+    ("n57_batch512", dict(n=57, Emax=49, batch=512)),
 ]
 
 
@@ -100,7 +108,34 @@ def bench_config(cfg, iters=5, warmup=2):
             x, key, params_van, params_flow, opt_state, record=True
         )
     dt = (time.perf_counter() - t0) / iters
-    return dt, {k: round(v / iters, 4) for k, v in phases.items()}
+    phase_means = {k: round(v / iters, 4) for k, v in phases.items()}
+
+    extras = {}
+    try:  # XLA-counted FLOPs of the accumulate program -> achieved TFLOP/s
+        key2, k1, k2 = jax.random.split(key, 3)
+        si, x2, _ = _retry(sample_jit, params_van, params_flow, x, k1)
+        acc = parts["init_acc"]()
+        cost = (
+            accumulate_jit.lower(params_van, params_flow, si, x2, k2, acc)
+            .compile()
+            .cost_analysis()
+        )
+        flops = float((cost or {}).get("flops", 0.0))
+        if flops and phase_means["accumulate"] > 0:
+            extras["accumulate_gflops"] = round(flops / 1e9, 1)
+            extras["accumulate_tflops_per_s"] = round(
+                flops / phase_means["accumulate"] / 1e12, 2
+            )
+    except Exception:
+        pass
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            extras["peak_hbm_gib"] = round(peak / 2**30, 2)
+    except Exception:
+        pass
+    return dt, {**phase_means, **extras}
 
 
 def main():
