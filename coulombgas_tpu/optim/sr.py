@@ -107,25 +107,37 @@ def fisher_sr(score_fn, damping, max_norm) -> FisherSR:
 
 
 class HybridFisherSR(NamedTuple):
-    """Joint classical+quantum SR: fishers builder + init/update pair."""
+    """Joint classical+quantum SR: scores/fishers builders + init/update."""
 
     fishers: Any
     init: Any
     update: Any
+    scores: Any = None
 
 
 def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) -> HybridFisherSR:
     """Hybrid SR over (params_van, params_flow).
 
-    ``fishers(params_van, params_flow, state_indices, x)`` returns
+    ``scores(params_van, params_flow, state_indices, x)`` returns the raveled
+    per-sample score matrices (S_c (B, P_van), S_q (B, P_flow) complex) —
+    everything the SR step needs derives from these: the Fisher matrices, the
+    mean scores, AND the REINFORCE gradients (grad = S^T w / B with w the
+    clipped per-sample weights), which lets the training step skip its loss
+    jacrevs entirely in SR mode.  ``fishers(...)`` returns
     (classical_fisher, quantum_fisher, quantum_score_mean), each a global
     batch average (accumulated across grad-accumulation steps by the driver).
     ``update(grads, state, fishers)`` consumes them explicitly.
     """
 
-    def fishers_fn(params_van, params_flow, state_indices, x):
+    def scores_fn(params_van, params_flow, state_indices, x):
         classical_score = _ravel_batch(classical_score_fn(params_van, state_indices))
         quantum_score = _ravel_batch(quantum_score_fn(x, params_flow, state_indices))
+        return classical_score, quantum_score
+
+    def fishers_fn(params_van, params_flow, state_indices, x):
+        classical_score, quantum_score = scores_fn(
+            params_van, params_flow, state_indices, x
+        )
         batch = classical_score.shape[0]
 
         classical_fisher = classical_score.T @ classical_score / batch
@@ -153,4 +165,4 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
         update_flow = unravel_flow(_solve_scaled(quantum_fisher, gf, damping, max_norm))
         return (update_van, update_flow), state
 
-    return HybridFisherSR(fishers_fn, init_fn, update_fn)
+    return HybridFisherSR(fishers_fn, init_fn, update_fn, scores_fn)

@@ -31,9 +31,16 @@ def make_loss(log_prob, logpsi, logpsi_grad_laplacian, kappa, G, L, rs, Vconst, 
       clip_factor: total-variation clipping width for the REINFORCE weights.
 
     Returns ``observable_and_lossfn(params_van, params_flow, state_indices,
-    x, key) -> (observables dict, classical_lossfn, quantum_lossfn)``; each
-    loss closure returns (loss, mean score) — the mean score supports the
-    baseline correction applied by the training driver.
+    x, key) -> (observables dict, classical_lossfn, quantum_lossfn, aux)``;
+    each loss closure returns (loss, mean score) — the mean score supports
+    the baseline correction applied by the training driver.  ``aux`` carries
+    the per-sample CLIPPED REINFORCE weights {"Floc_clipped" (B,),
+    "Eloc_clipped" (B,) complex}: with per-sample scores S (as built for the
+    SR Fisher) the loss gradients are exactly grad_van = S_c^T Floc_clipped/B
+    and grad_flow = 2 Re(S_q^T conj(Eloc_clipped))/B — the weights are
+    AD-constants in the reference's closures too (src/VMC.py:60-76), so the
+    score-based form is the same estimator, letting the SR training step skip
+    its loss jacrevs.
     """
 
     def observable_and_lossfn(params_van, params_flow, state_indices, x, key):
@@ -59,26 +66,31 @@ def make_loss(log_prob, logpsi, logpsi_grad_laplacian, kappa, G, L, rs, Vconst, 
         }
         F_mean, E_mean = observable["F_mean"], observable["E_mean"]
 
+        tvF = jnp.abs(Floc - F_mean).mean()
+        Floc_clipped = jnp.clip(
+            Floc, F_mean - clip_factor * tvF, F_mean + clip_factor * tvF
+        )
+        tvE = jnp.abs(Eloc - E_mean).mean()
+        # complex-safe clip (jnp.clip rejects complex): clip the real part
+        # and carry the imaginary part unchanged, matching the reference's
+        # complex jnp.clip semantics (src/VMC.py:72-73).
+        Eloc_clipped = jnp.clip(
+            Eloc.real, E_mean - clip_factor * tvE, E_mean + clip_factor * tvE
+        ) + 1j * Eloc.imag
+        aux = {"Floc_clipped": Floc_clipped, "Eloc_clipped": Eloc_clipped}
+
         def classical_lossfn(params_van):
             logp = log_prob(params_van, state_indices)
-            tv = jnp.abs(Floc - F_mean).mean()
-            Floc_clipped = jnp.clip(Floc, F_mean - clip_factor * tv, F_mean + clip_factor * tv)
             gradF_phi = (logp * Floc_clipped).mean()
             classical_score = logp.mean()
             return gradF_phi, classical_score
 
         def quantum_lossfn(params_flow):
             logpsix = logpsi(x, params_flow, state_indices)
-            tv = jnp.abs(Eloc - E_mean).mean()
-            lo, hi = E_mean - clip_factor * tv, E_mean + clip_factor * tv
-            # complex-safe clip (jnp.clip rejects complex): clip the real part
-            # and carry the imaginary part unchanged, matching the reference's
-            # complex jnp.clip semantics (src/VMC.py:72-73).
-            Eloc_clipped = jnp.clip(Eloc.real, lo, hi) + 1j * Eloc.imag
             gradF_theta = 2 * (logpsix * Eloc_clipped.conj()).real.mean()
             quantum_score = 2 * logpsix.real.mean()
             return gradF_theta, quantum_score
 
-        return observable, classical_lossfn, quantum_lossfn
+        return observable, classical_lossfn, quantum_lossfn, aux
 
     return observable_and_lossfn

@@ -111,9 +111,37 @@ def make_accumulate_and_apply(
     use_sr = sr_opt is not None
 
     def _one_batch(params_van, params_flow, state_indices, x, key):
-        data, classical_lossfn, quantum_lossfn = observable_and_lossfn(
+        data, classical_lossfn, quantum_lossfn, aux = observable_and_lossfn(
             params_van, params_flow, state_indices, x, key
         )
+        if use_sr and sr_opt.scores is not None:
+            # SR already needs per-sample score matrices for the Fisher; the
+            # REINFORCE gradients and mean scores are exact contractions of
+            # the same matrices (the clipped weights are AD-constants in the
+            # loss closures, see train/loss.py), so skip both loss jacrevs.
+            from jax.flatten_util import ravel_pytree
+
+            s_c, s_q = sr_opt.scores(params_van, params_flow, state_indices, x)
+            batch = s_c.shape[0]
+            _, unravel_van = ravel_pytree(params_van)
+            _, unravel_flow = ravel_pytree(params_flow)
+            grad_van = unravel_van(s_c.T @ aux["Floc_clipped"] / batch)
+            grad_flow = unravel_flow(
+                2.0 * (s_q * aux["Eloc_clipped"].conj()[:, None]).real.mean(axis=0)
+            )
+            classical_score = unravel_van(s_c.mean(axis=0))
+            quantum_score = unravel_flow(2.0 * s_q.real.mean(axis=0))
+            qsm = s_q.mean(axis=0)
+            out = {
+                "data": data,
+                "grads": (grad_van, grad_flow),
+                "classical_score": classical_score,
+                "quantum_score": quantum_score,
+                "classical_fisher": s_c.T @ s_c / batch,
+                "quantum_fisher": (s_q.conj().T @ s_q).real / batch,
+                "quantum_score_mean": jnp.stack([qsm.real, qsm.imag]),
+            }
+            return out
         # jacrev over the (loss, mean-logp) pair gives (REINFORCE grad, mean score).
         grad_van, classical_score = jax.jacrev(classical_lossfn)(params_van)
         grad_flow, quantum_score = jax.jacrev(quantum_lossfn)(params_flow)

@@ -148,3 +148,38 @@ def test_microbatched_accumulate_matches_full():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10),
         acc1["classical_score"], acc2["classical_score"],
     )
+
+
+def test_score_based_grads_match_jacrev():
+    """SR-mode score-contraction gradients == the loss-jacrev gradients.
+
+    The REINFORCE weights are AD-constants inside the loss closures, so
+    grad_van = S_c^T Floc_clipped / B and grad_flow =
+    2 Re(S_q^T conj(Eloc_clipped)) / B must equal jacrev of the losses
+    exactly (f64).  Pins the jacrev-free SR accumulate path
+    (train/train.py) against the reference-semantics closures.
+    """
+    from coulombgas_tpu.train.train import make_accumulate_and_apply
+
+    parts = ge._build_stack(n=5, dim=2, Emax=4, batch=16, rdtype=jnp.float64,
+                            hutchinson=True, sr=True)
+    pv, pf = parts["params_van"], parts["params_flow"]
+    key = jax.random.PRNGKey(3)
+    s, x, _ = jax.jit(parts["sample_step"])(pv, pf, parts["x"], key)
+
+    # score path = the production accumulate
+    acc_fast = parts["accumulate"](pv, pf, s, x, key, parts["init_acc"]())
+
+    # jacrev oracle: same pieces, scores fn disabled
+    accum_slow, _ = make_accumulate_and_apply(
+        parts["observable_and_lossfn"], None, acc_steps=1,
+        sr_opt=parts["sr_opt"]._replace(scores=None),
+    )
+    acc_slow = accum_slow(pv, pf, s, x, key, parts["init_acc"]())
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+        ),
+        acc_fast, acc_slow,
+    )
