@@ -25,8 +25,18 @@ from ..sampling.autoregressive import make_autoregressive_sampler, make_classica
 __all__ = ["make_freefermion_loss", "pretrain"]
 
 
-def make_freefermion_loss(log_prob, Es, beta):
-    """REINFORCE loss for the non-interacting system (exact per-state E)."""
+def make_freefermion_loss(log_prob, Es, beta, clip_factor=None):
+    """REINFORCE loss for the non-interacting system (exact per-state E).
+
+    ``clip_factor``: optional total-variation clipping of the centered
+    REINFORCE weights (same 5xTV scheme the interacting loss uses,
+    train/loss.py).  The reference's pretraining does not clip
+    (src/freefermion/pretraining.py:11-30) and neither does the default —
+    but near convergence in f32 the rare low-probability states carry
+    weights |F - F_mean| ~ |log p|/beta that grow as the distribution
+    sharpens, and at n >= 49 this drives an entropy-collapse limit cycle of
+    the f32 SR dynamics (see PARITY.md); clipping bounds that feedback.
+    """
 
     Es = np.asarray(Es)  # host constant; converted at trace time
 
@@ -40,7 +50,11 @@ def make_freefermion_loss(log_prob, Es, beta):
             "F_mean": F.mean(), "F_std": F.std(),
             "S_mean": -logp.mean(), "S_std": logp.std(),
         }
-        gradF = (logp * (F - aux["F_mean"])).mean()
+        w = F - aux["F_mean"]
+        if clip_factor is not None:
+            tv = jnp.abs(w).mean()
+            w = jnp.clip(w, -clip_factor * tv, clip_factor * tv)
+        gradF = (logp * w).mean()
         return gradF, aux
 
     return loss_fn
@@ -55,7 +69,7 @@ def pretrain(
     batch, epoch=10000,
     mesh=None, dtype=None,
     check_analytic=True, dps=600,
-    log_every=1,
+    log_every=1, clip_factor=None,
 ):
     """Train the VAN on free fermions; returns the trained parameters.
 
@@ -87,7 +101,7 @@ def pretrain(
     num_states = Es_twist.size
     sampler, log_prob_novmap = make_autoregressive_sampler(cfg, sp_indices_twist, n, num_states)
     log_prob = jax.vmap(log_prob_novmap, (None, 0), 0)
-    loss_fn = make_freefermion_loss(log_prob, Es_twist, beta)
+    loss_fn = make_freefermion_loss(log_prob, Es_twist, beta, clip_factor)
 
     if sr:
         score_fn = make_classical_score(log_prob_novmap)

@@ -275,6 +275,21 @@ def main(argv=None):
            if args.sr else "_lr_%.3f" % args.lr)
         + "_batch_%d_ndevices_%d_accsteps_%d" % (args.batch, num_devices, args.acc_steps),
     )
+    # The reference's naming scheme tops out at exactly 255 bytes for its 2D
+    # production configs; dim=3 (three twist components) exceeds the
+    # per-component filesystem limit.  Keep byte-exact names whenever they
+    # fit; otherwise truncate + hash, recording the full name inside the run
+    # directory so analysis tooling can still recover every hyperparameter.
+    run_name = os.path.basename(path)
+    if len(run_name.encode()) > 255:
+        import hashlib
+
+        digest = hashlib.sha1(run_name.encode()).hexdigest()[:10]
+        short = run_name.encode()[: 255 - 11].decode(errors="ignore")
+        path = os.path.join(os.path.dirname(path), short + "~" + digest)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "runname.txt"), "w") as f:
+            f.write(run_name + "\n")
     os.makedirs(path, exist_ok=True)
     print("Run directory:", path)
 

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--dps", type=int, default=400)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--clip", type=float, default=None,
+                        help="TV clip factor for the REINFORCE weights "
+                        "(off by default = reference semantics)")
     args = parser.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
     params = init_transformer_params(key, cfg, args.dim, prec.real)
 
     path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}"
-                        + (f"_seed_{args.seed}" if args.seed != 42 else ""))
+                        + (f"_seed_{args.seed}" if args.seed != 42 else "")
+                        + (f"_clip_{args.clip:g}" if args.clip is not None else ""))
     os.makedirs(path, exist_ok=True)
 
     F_x, E_x, S_x = (
@@ -67,7 +71,7 @@ def main():
         cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,
         path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
-        log_every=args.log_every,
+        log_every=args.log_every, clip_factor=args.clip,
     )
     from coulombgas_tpu.io.checkpoint import pretrained_model_filename, save_data
 
