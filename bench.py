@@ -112,7 +112,7 @@ def bench_config(cfg, iters=5, warmup=2):
 
     extras = {}
     try:  # XLA-counted FLOPs of the accumulate program -> achieved TFLOP/s
-        key2, k1, k2 = jax.random.split(key, 3)
+        _, k1, k2 = jax.random.split(key, 3)
         si, x2, _ = _retry(sample_jit, params_van, params_flow, x, k1)
         acc = parts["init_acc"]()
         cost = (

@@ -150,13 +150,15 @@ def fused_logp_pallas(u, kvec, J, L: float, interpret: bool = False,
     padded = nblocks * LANES
     if padded != B:
         pad = padded - B
-        ut = jnp.pad(ut, ((0, 0), (0, 0), (0, pad)))
-        # padded walkers: k = 0 rows would make D rank-deficient; give them
-        # distinct unit momenta scaled by index so H stays PD (value unused).
-        kpad = jnp.broadcast_to(
-            jnp.arange(1, n + 1, dtype=kt.dtype)[:, None, None], (n, dim, pad)
+        # pad with copies of walker 0 (a real walker, so D stays PD) and
+        # identity Jacobians; the padded lanes are sliced away on return and
+        # at worst hit the Cholesky deflation floor (never NaN).
+        ut = jnp.concatenate(
+            [ut, jnp.broadcast_to(ut[:, :, :1], (n, dim, pad))], axis=-1
         )
-        kt = jnp.concatenate([kt, kpad], axis=-1)
+        kt = jnp.concatenate(
+            [kt, jnp.broadcast_to(kt[:, :, :1], (n, dim, pad))], axis=-1
+        )
         eye_pad = jnp.broadcast_to(
             jnp.eye(nd, dtype=jt.dtype)[:, :, None], (nd, nd, pad)
         )

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["fisher_sr", "hybrid_fisher_sr", "FisherSR", "HybridFisherSR"]
+__all__ = ["fisher_sr", "hybrid_fisher_sr", "fishers_from_scores",
+           "FisherSR", "HybridFisherSR"]
 
 
 def _ravel_batch(scores):
@@ -106,6 +107,23 @@ def fisher_sr(score_fn, damping, max_norm) -> FisherSR:
     return FisherSR(init_fn, update_fn)
 
 
+def fishers_from_scores(classical_score, quantum_score):
+    """(S_c (B, P_c), S_q (B, P_q) complex) -> the hybrid-SR Fisher payload.
+
+    Shared by ``hybrid_fisher_sr.fishers`` and the jacrev-free training step
+    (train/train.py) so both assemble identical (classical_fisher,
+    quantum_fisher, quantum_score_mean) — the mean is Re/Im-stacked as a
+    real (2, P) array because complex arrays may not cross jit boundaries on
+    all TPU runtimes (c64 program inputs / host fetches are unimplemented on
+    the axon tunnel).
+    """
+    batch = classical_score.shape[0]
+    classical_fisher = classical_score.T @ classical_score / batch
+    quantum_fisher = (quantum_score.conj().T @ quantum_score).real / batch
+    qsm = quantum_score.mean(axis=0)
+    return classical_fisher, quantum_fisher, jnp.stack([qsm.real, qsm.imag])
+
+
 class HybridFisherSR(NamedTuple):
     """Joint classical+quantum SR: scores/fishers builders + init/update."""
 
@@ -135,19 +153,9 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
         return classical_score, quantum_score
 
     def fishers_fn(params_van, params_flow, state_indices, x):
-        classical_score, quantum_score = scores_fn(
-            params_van, params_flow, state_indices, x
+        return fishers_from_scores(
+            *scores_fn(params_van, params_flow, state_indices, x)
         )
-        batch = classical_score.shape[0]
-
-        classical_fisher = classical_score.T @ classical_score / batch
-        quantum_fisher = (quantum_score.conj().T @ quantum_score).real / batch
-        qsm = quantum_score.mean(axis=0)
-        # Re/Im stacked as a real (2, P) array: complex arrays may not cross
-        # jit boundaries on all TPU runtimes (c64 program inputs / host
-        # fetches are unimplemented on the axon tunnel).
-        quantum_score_mean = jnp.stack([qsm.real, qsm.imag])
-        return classical_fisher, quantum_fisher, quantum_score_mean
 
     def init_fn(params):
         return ()

@@ -121,6 +121,8 @@ def make_accumulate_and_apply(
             # loss closures, see train/loss.py), so skip both loss jacrevs.
             from jax.flatten_util import ravel_pytree
 
+            from ..optim.sr import fishers_from_scores
+
             s_c, s_q = sr_opt.scores(params_van, params_flow, state_indices, x)
             batch = s_c.shape[0]
             _, unravel_van = ravel_pytree(params_van)
@@ -129,19 +131,16 @@ def make_accumulate_and_apply(
             grad_flow = unravel_flow(
                 2.0 * (s_q * aux["Eloc_clipped"].conj()[:, None]).real.mean(axis=0)
             )
-            classical_score = unravel_van(s_c.mean(axis=0))
-            quantum_score = unravel_flow(2.0 * s_q.real.mean(axis=0))
-            qsm = s_q.mean(axis=0)
-            out = {
+            cf, qf, qsm = fishers_from_scores(s_c, s_q)
+            return {
                 "data": data,
                 "grads": (grad_van, grad_flow),
-                "classical_score": classical_score,
-                "quantum_score": quantum_score,
-                "classical_fisher": s_c.T @ s_c / batch,
-                "quantum_fisher": (s_q.conj().T @ s_q).real / batch,
-                "quantum_score_mean": jnp.stack([qsm.real, qsm.imag]),
+                "classical_score": unravel_van(s_c.mean(axis=0)),
+                "quantum_score": unravel_flow(2.0 * s_q.real.mean(axis=0)),
+                "classical_fisher": cf,
+                "quantum_fisher": qf,
+                "quantum_score_mean": qsm,
             }
-            return out
         # jacrev over the (loss, mean-logp) pair gives (REINFORCE grad, mean score).
         grad_van, classical_score = jax.jacrev(classical_lossfn)(params_van)
         grad_flow, quantum_score = jax.jacrev(quantum_lossfn)(params_flow)

@@ -44,6 +44,7 @@ def make_logp_fast(
     use_fused: bool | None = None,
     fused_interpret: bool = False,
     pallas_flow_cfg=None,
+    use_large_flow: bool = False,
 ):
     """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
 
@@ -63,10 +64,10 @@ def make_logp_fast(
     def _fused_ok(x):
         from ..ops.pallas_fused_logp import MAX_FUSED_N
 
+        if use_fused is not None:  # explicit override wins over interpret
+            return use_fused
         if fused_interpret:
             return True
-        if use_fused is not None:
-            return use_fused
         return (
             jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
@@ -96,11 +97,9 @@ def make_logp_fast(
                 flow_kernel = flow_u_jac_pallas
             # measured negative result (PERF.md): at n=49 the row-chunked
             # per-layer kernels + inter-kernel glue are ~17% SLOWER than
-            # XLA's fused fwd+jac — the VPU-bound nd x nd Cholesky tail
-            # dominates there, so the flow kernel stops mattering.  Kept
-            # available for experimentation, off in production.
-            use_large = False
-            if use_large and n <= MAX_FLOW_N_LARGE and pallas_flow_cfg.depth == 2:
+            # XLA's fused fwd+jac (the Jacobian state movement is the wall
+            # for either path), so this stays opt-in via ``use_large_flow``.
+            if use_large_flow and n <= MAX_FLOW_N_LARGE and pallas_flow_cfg.depth == 2:
                 flow_kernel = flow_u_jac_pallas_large
             if flow_kernel is not None:
                 u_t, J_t = flow_kernel(

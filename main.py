@@ -223,6 +223,7 @@ def main(argv=None):
             flow_apply, sp_indices_twist, L,
             chunk=args.mc_microbatch or None,
             jacobian=flow_jac,
+            pallas_flow_cfg=flow_cfg,  # batch-in-lanes flow kernel (n <= 32)
         )
 
     # ---- Ewald -------------------------------------------------------------
