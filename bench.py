@@ -132,7 +132,10 @@ def bench_config(cfg, iters=5, warmup=2):
         stats = jax.local_devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         if peak:
-            extras["peak_hbm_gib"] = round(peak / 2**30, 2)
+            # process-lifetime high-water mark: configs run sequentially in
+            # one process, so this is the max over all configs SO FAR, not
+            # this config's own peak — labeled accordingly.
+            extras["peak_hbm_gib_cumulative"] = round(peak / 2**30, 2)
     except Exception:
         pass
     return dt, {**phase_means, **extras}

@@ -27,9 +27,14 @@ class ObservableLog:
     """Line-buffered data.txt writer (values mirrored to stdout)."""
 
     def __init__(self, path: str, resume: bool = False, filename: str = "data.txt"):
+        # ALWAYS append, like the reference (main.py:313): re-launching a
+        # crashed run without --epoch_finished must not destroy its log —
+        # that would erase the evidence exactly when a run died.  (``resume``
+        # is kept for API compatibility; both modes append.)
+        del resume
         os.makedirs(path, exist_ok=True)
         self.filename = os.path.join(path, filename)
-        self.f = open(self.filename, "a" if resume else "w", buffering=1, newline="\n")
+        self.f = open(self.filename, "a", buffering=1, newline="\n")
 
     def write_train(self, i, F, F_std, E, E_std, K, K_std, V, V_std, S, S_std, accept_rate):
         print(

@@ -44,12 +44,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .logdet import PIVOT_FLOOR
 
-__all__ = ["fused_logp_pallas", "MAX_FUSED_N"]
+__all__ = ["fused_logp_pallas", "MAX_FUSED_N", "fused_vmem_bytes", "fused_fits"]
 
 LANES = 128
 
 # VMEM per block ~ (n^2*3 + nd^2*2) * LANES * 4 B; n=57 (dim=2) is ~13 MB.
+# Kept for backward compatibility; the real gate is ``fused_fits`` below,
+# which is dim-aware (VMEM scales with nd^2 = (n*dim)^2, so dim=3 hits the
+# 64 MB wall well before n=57).
 MAX_FUSED_N = 57
+
+VMEM_BUDGET_BYTES = 40 * 1024 * 1024  # leave headroom under the ~64 MB/core
+
+
+def fused_vmem_bytes(n: int, dim: int) -> int:
+    """Estimated peak VMEM of one lane block of the fused kernel.
+
+    Counts the (double-buffered) inputs (J^T (nd,nd,LANES), u/k (n,dim,LANES))
+    plus the scratch Grams (h_r, h_i, g_s) and the ang/cos/sin pipeline.
+    """
+    nd = n * dim
+    inputs = 2 * (nd * nd + 2 * n * dim)  # double-buffered across grid blocks
+    scratch = nd * nd + 5 * n * n
+    return 4 * LANES * (inputs + scratch)
+
+
+def fused_fits(n: int, dim: int) -> bool:
+    return fused_vmem_bytes(n, dim) <= VMEM_BUDGET_BYTES
 
 
 def _fused_logp_kernel(ut_ref, kt_ref, jt_ref, out_ref, h_r, h_i, g_s,

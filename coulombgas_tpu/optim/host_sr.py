@@ -1,0 +1,98 @@
+"""Host-side float64 SR apply step.
+
+TPUs have no native f64 path (emulated f64 inside the update graph crashes
+the XLA TPU compiler at production sizes, and global x64 flips default dtypes
+across the stack — see config.py), so the float64 option for the SR linear
+algebra lives on the HOST: the accumulated Fisher matrices, gradients and
+mean scores are pulled back once per apply step, the baseline correction,
+quantum-Fisher centering, damped Cholesky solves and trust-region scaling all
+run in numpy/LAPACK float64, and only the raveled parameter updates return to
+the device.  Numerics mirror the reference apply step exactly
+(reference main.py:291-307 + src/sr.py:86-120), at f64 instead of f32.
+
+Cost model (single TPU v5e behind the axon tunnel, measured): the classical
+Fisher at n=29 is 5826^2 f32 = 135 MB -> ~2.2 s device-to-host at ~60 MB/s,
+plus ~2.3 s host Cholesky — ~5 s per apply step on top of a ~1.5 s epoch.
+Use when f32 solve precision is the binding constraint (large-n stage-1
+plateaus, PARITY.md); the on-device 'refined' solver covers the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as sla
+
+__all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host"]
+
+
+def ravel_host(tree):
+    """Ravel a pytree of (numpy) leaves into one f64 vector.
+
+    Leaf order matches jax.flatten_util.ravel_pytree (both use tree_flatten),
+    so the device-side ``unravel`` closures invert this exactly.
+    """
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    return np.concatenate([np.asarray(l, np.float64).ravel() for l in leaves])
+
+
+def host_solve_scaled(fisher, grads, damping, max_norm):
+    """f64 damped solve + trust-region scaling; returns (-scaled step, diag).
+
+    Same semantics as optim.sr._solve_scaled: a non-positive or non-finite
+    curvature g^T M^{-1} g means the solve is untrustworthy -> null step.
+    """
+    M = np.asarray(fisher, np.float64)
+    M = M + damping * np.eye(M.shape[0])
+    g = np.asarray(grads, np.float64)
+    try:
+        c = sla.cho_factor(M, check_finite=False)
+        upd = sla.cho_solve(c, g, check_finite=False)
+    except Exception:
+        # centered quantum Fisher can be (numerically) indefinite
+        upd = sla.solve(M, g, check_finite=False)
+    gnorm = float(g @ upd)
+    if not np.isfinite(gnorm) or gnorm <= 0.0:
+        return np.zeros_like(upd), {"gnorm": gnorm, "scale": 0.0}
+    scale = min(float(np.sqrt(max_norm / gnorm)), 1.0)
+    upd = -scale * upd
+    upd[~np.isfinite(upd)] = 0.0
+    return upd, {"gnorm": gnorm, "scale": scale}
+
+
+def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
+    """Full hybrid-SR apply math in f64 from the host copy of the accumulators.
+
+    ``acc_host``: numpy pytree with the same structure train.init_accumulators
+    builds ('data', 'grads', 'classical_score', 'quantum_score',
+    'classical_fisher', 'quantum_fisher', 'quantum_score_mean'), each entry a
+    SUM over acc_steps accumulation steps.
+
+    Returns (upd_van_raveled, upd_flow_raveled, data, diag) — updates as f64
+    numpy vectors for the device-side unravel+apply, ``data`` the normalized
+    observable dict (python floats), ``diag`` the two solves' diagnostics.
+    """
+    data = {k: float(v) / acc_steps for k, v in acc_host["data"].items()}
+
+    grad_van = ravel_host(acc_host["grads"][0]) / acc_steps
+    grad_flow = ravel_host(acc_host["grads"][1]) / acc_steps
+    score_van = ravel_host(acc_host["classical_score"]) / acc_steps
+    score_flow = ravel_host(acc_host["quantum_score"]) / acc_steps
+
+    # REINFORCE baseline correction (reference main.py:295-298) in f64.
+    grad_van = grad_van - data["F_mean"] * score_van
+    grad_flow = grad_flow - data["E_mean"] * score_flow
+
+    cf = np.asarray(acc_host["classical_fisher"], np.float64) / acc_steps
+    qf = np.asarray(acc_host["quantum_fisher"], np.float64) / acc_steps
+    qsm2 = np.asarray(acc_host["quantum_score_mean"], np.float64) / acc_steps
+    qsm = qsm2[0] + 1j * qsm2[1]
+    # Center the quantum Fisher: subtract the mean-score outer product.
+    qf = qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
+
+    upd_van, diag_van = host_solve_scaled(cf, grad_van, damping, max_norm)
+    upd_flow, diag_flow = host_solve_scaled(qf, grad_flow, damping, max_norm)
+    diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
+            "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}
+    return upd_van, upd_flow, data, diag

@@ -34,27 +34,32 @@ def _ravel_batch(scores):
 
 
 def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
-                  jacobi: bool = False):
+                  jacobi: bool = False, with_diag: bool = False):
     """Damped dense solve + trust-region scaling; returns the *negated* step.
 
     The centered quantum Fisher is PSD only up to roundoff; in f32 the damped
     matrix can be numerically indefinite, so use a general LU solve (a
-    Cholesky would silently produce NaNs) and guard the trust-region scale
-    against a non-positive g^T F^{-1} g.  A final finiteness mask turns a
+    Cholesky would silently produce NaNs).  The trust-region scale is
+    ``min(sqrt(max_norm / g^T delta), 1)`` with delta = M^{-1} g; in exact
+    arithmetic g^T delta > 0, so a non-positive (or non-finite) value means
+    the f32 solve produced garbage curvature — in that case the step is
+    ZEROED.  (Round-1 clamped the denominator to ``tiny`` instead, which sent
+    scale -> 1 and applied the garbage step UNSCALED; forensics of the n=29
+    interacting run show exactly such discrete catastrophic updates — K
+    jumping 0.99 -> 2.54 in one epoch — seeding the entropy collapse.  See
+    PARITY.md round 2.)  A final finiteness mask turns any remaining
     pathological solve into a null step instead of NaN parameters.
 
-    Opt-in f32 accuracy measures (OFF by default — see PARITY.md, n=49):
-    ``jacobi`` solves (S M S) y = S g with S = diag(M)^(-1/2) — identical
-    solution in exact arithmetic, far better f32 conditioning when the
-    Fisher's diagonal spread dominates; ``refine`` adds rounds of f32
-    iterative refinement with HIGHEST-precision residual matvecs.  They are
-    not the production default because a MORE accurate f32 solve makes the
-    n=49 stage-1 SR dynamics *unstable*: the accurate step fully resolves
-    noise-dominated near-null Fisher directions (lambda ~ damping) that the
-    plain f32 solve's error effectively regularizes; empirically plain-f32
-    stalls 5e-3/particle above the oracle while the scaled variant
-    oscillates and diverges, and full-f64 (CPU) descends stably — large-n
-    stage-1 parity in reduced precision remains an open item.
+    f32 accuracy measures: ``jacobi`` solves (S M S) y = S g with
+    S = diag(M)^(-1/2) — identical solution in exact arithmetic, far better
+    f32 conditioning when the Fisher's diagonal spread dominates; ``refine``
+    adds rounds of f32 iterative refinement with HIGHEST-precision residual
+    matvecs.  With the trust-region guard above fixed these are safe to
+    enable (round-1 instabilities attributed to "accurate solves" were
+    garbage steps taken through the gnorm<=0 path).
+
+    ``with_diag`` also returns {"gnorm", "scale"} so the driver can log when
+    the guard fires.
     """
     dtype = fisher.dtype
     M = fisher + damping * jnp.eye(fisher.shape[0], dtype=dtype)
@@ -73,9 +78,17 @@ def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
             y = y + jax.scipy.linalg.lu_solve(lu_piv, r)
         updates = y * s
         gnorm = jnp.sum(grads_raveled * updates)
-    scale = jnp.minimum(jnp.sqrt(max_norm / jnp.maximum(gnorm, jnp.finfo(gnorm.dtype).tiny)), 1.0)
+    ok = jnp.isfinite(gnorm) & (gnorm > 0)
+    scale = jnp.where(
+        ok,
+        jnp.minimum(jnp.sqrt(max_norm / jnp.where(ok, gnorm, 1.0)), 1.0),
+        0.0,
+    )
     updates = -scale * updates
-    return jnp.where(jnp.isfinite(updates), updates, jnp.zeros_like(updates))
+    updates = jnp.where(jnp.isfinite(updates), updates, jnp.zeros_like(updates))
+    if with_diag:
+        return updates, {"gnorm": gnorm, "scale": scale}
+    return updates
 
 
 class FisherSR(NamedTuple):
@@ -85,15 +98,16 @@ class FisherSR(NamedTuple):
     update: Any
 
 
-def fisher_sr(score_fn, damping, max_norm) -> FisherSR:
+def fisher_sr(score_fn, damping, max_norm, refine: int = 0, jacobi: bool = False) -> FisherSR:
     """SR for the classical VAN alone (used by free-fermion pretraining).
 
     ``score_fn(params, state_indices)`` returns per-sample score pytrees.
-    ``update(grads, state, params, state_indices)`` returns (updates, state).
+    ``update(grads, state, params, state_indices)`` returns (updates, state);
+    the state carries the trust-region diagnostics of the last solve.
     """
 
     def init_fn(params):
-        return ()
+        return {"gnorm": jnp.zeros(()), "scale": jnp.zeros(())}
 
     def update_fn(grads, state, params, state_indices):
         grads_raveled, unravel = ravel_pytree(grads)
@@ -101,8 +115,9 @@ def fisher_sr(score_fn, damping, max_norm) -> FisherSR:
         batch = score.shape[0]
         # Mean over the (sharded) global batch: psum under jit.
         fisher = score.T @ score / batch
-        updates = unravel(_solve_scaled(fisher, grads_raveled, damping, max_norm))
-        return updates, state
+        upd, diag = _solve_scaled(fisher, grads_raveled, damping, max_norm,
+                                  refine=refine, jacobi=jacobi, with_diag=True)
+        return unravel(upd), diag
 
     return FisherSR(init_fn, update_fn)
 
@@ -133,7 +148,8 @@ class HybridFisherSR(NamedTuple):
     scores: Any = None
 
 
-def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) -> HybridFisherSR:
+def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm,
+                     refine: int = 0, jacobi: bool = False) -> HybridFisherSR:
     """Hybrid SR over (params_van, params_flow).
 
     ``scores(params_van, params_flow, state_indices, x)`` returns the raveled
@@ -158,7 +174,8 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
         )
 
     def init_fn(params):
-        return ()
+        z = jnp.zeros(())
+        return {"gnorm_van": z, "scale_van": z, "gnorm_flow": z, "scale_flow": z}
 
     def update_fn(grads, state, fishers):
         grad_van, grad_flow = grads
@@ -169,8 +186,12 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm) ->
 
         gv, unravel_van = ravel_pytree(grad_van)
         gf, unravel_flow = ravel_pytree(grad_flow)
-        update_van = unravel_van(_solve_scaled(classical_fisher, gv, damping, max_norm))
-        update_flow = unravel_flow(_solve_scaled(quantum_fisher, gf, damping, max_norm))
-        return (update_van, update_flow), state
+        upd_van, diag_van = _solve_scaled(classical_fisher, gv, damping, max_norm,
+                                          refine=refine, jacobi=jacobi, with_diag=True)
+        upd_flow, diag_flow = _solve_scaled(quantum_fisher, gf, damping, max_norm,
+                                            refine=refine, jacobi=jacobi, with_diag=True)
+        diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
+                "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}
+        return (unravel_van(upd_van), unravel_flow(upd_flow)), diag
 
     return HybridFisherSR(fishers_fn, init_fn, update_fn, scores_fn)

@@ -37,6 +37,11 @@ def mcmc(logp_fn, x_init, key, mc_steps: int, mc_stddev=0.02):
         logp_prop = logp_fn(x_prop)
         ratio = jnp.exp(logp_prop - logp)
         accept = jax.random.uniform(key_acc, ratio.shape, ratio.dtype) < ratio
+        # Stuck-walker rescue: a NaN proposal logp auto-rejects (NaN compares
+        # False), but a walker whose CURRENT logp is non-finite (f32 overflow
+        # in a pathological region) would then reject everything forever —
+        # accept any finite proposal to bring it back.
+        accept = accept | (~jnp.isfinite(logp) & jnp.isfinite(logp_prop))
         x_new = jnp.where(accept[:, None, None], x_prop, x)
         logp_new = jnp.where(accept, logp_prop, logp)
         return x_new, logp_new, key, num_accepts + accept.sum()

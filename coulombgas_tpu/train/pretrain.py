@@ -70,11 +70,18 @@ def pretrain(
     mesh=None, dtype=None,
     check_analytic=True, dps=600,
     log_every=1, clip_factor=None,
+    solver="plain",
 ):
     """Train the VAN on free fermions; returns the trained parameters.
 
     Writes the 6-column data.txt log into ``path``; when ``check_analytic``
     the exact F/E/S are computed with the mpmath oracle and printed first.
+
+    ``solver`` selects the SR dense-solve numerics: "plain" (f32 on device),
+    "refined" (Jacobi scaling + 2 rounds of iterative refinement, still f32),
+    or "host64" (the classical Fisher is pulled to the host every epoch and
+    the damped solve runs in LAPACK float64 — the escape hatch for the
+    large-n f32 SR plateau, see PARITY.md).
     """
     L, beta = (float(v) for v in box_parameters(n, dim, Theta))
     if dtype is None:
@@ -103,9 +110,12 @@ def pretrain(
     log_prob = jax.vmap(log_prob_novmap, (None, 0), 0)
     loss_fn = make_freefermion_loss(log_prob, Es_twist, beta, clip_factor)
 
+    host64 = sr and solver == "host64"
+    refined = solver == "refined"
     if sr:
         score_fn = make_classical_score(log_prob_novmap)
-        optimizer = fisher_sr(score_fn, damping, max_norm)
+        optimizer = fisher_sr(score_fn, damping, max_norm,
+                              refine=2 if refined else 0, jacobi=refined)
     else:
         optimizer = optax.adam(lr)
     opt_state = optimizer.init(params_van)
@@ -128,10 +138,41 @@ def pretrain(
         params_van = optax.apply_updates(params_van, updates)
         return params_van, new_opt_state, key, aux
 
+    if host64:
+        from jax.flatten_util import ravel_pytree
+
+        from ..optim.host_sr import host_solve_scaled
+        from ..optim.sr import _ravel_batch
+
+        _, unravel = ravel_pytree(jax.device_get(params_van))
+
+        @jax.jit
+        def grads_and_fisher(params_van, key):
+            key, subkey = jax.random.split(key)
+            state_indices = jax.lax.with_sharding_constraint(
+                sampler(params_van, subkey, batch), batch_spec(mesh)
+            )
+            grads, aux = jax.grad(loss_fn, argnums=0, has_aux=True)(params_van, state_indices)
+            score = _ravel_batch(score_fn(params_van, state_indices))
+            fisher = score.T @ score / batch
+            g, _ = ravel_pytree(grads)
+            return g, fisher, key, aux
+
+        @jax.jit
+        def apply_upd(params_van, uv):
+            return optax.apply_updates(params_van, unravel(uv))
+
     log = ObservableLog(path)
     sqrtb = float(np.sqrt(batch))
     for i in range(1, epoch + 1):
-        params_van, opt_state, key, aux = update(params_van, opt_state, key)
+        if host64:
+            g, fisher, key, aux = grads_and_fisher(params_van, key)
+            uv, _ = host_solve_scaled(
+                jax.device_get(fisher), jax.device_get(g), damping, max_norm
+            )
+            params_van = apply_upd(params_van, jnp.asarray(uv, dtype))
+        else:
+            params_van, opt_state, key, aux = update(params_van, opt_state, key)
         if i % log_every == 0:
             a = jax.device_get(aux)
             log.write_pretrain(

@@ -201,6 +201,8 @@ def make_accumulate_and_apply(
                 norm(acc["quantum_score_mean"]),
             )
             updates, opt_state = sr_opt.update(grads, opt_state, fishers)
+            # surface the trust-region diagnostics (opt_state == diag dict)
+            data = dict(data, **{"diag_" + k: v for k, v in opt_state.items()})
         else:
             updates, opt_state = optimizer.update(grads, opt_state)
         params_van, params_flow = optax.apply_updates((params_van, params_flow), updates)

@@ -62,16 +62,22 @@ def make_logp_fast(
     sp_indices = np.asarray(sp_indices)  # host constant
 
     def _fused_ok(x):
-        from ..ops.pallas_fused_logp import MAX_FUSED_N
+        from ..ops.pallas_fused_logp import fused_fits
 
         if use_fused is not None:  # explicit override wins over interpret
+            if use_fused and jax.default_backend() != "tpu" and not fused_interpret:
+                raise ValueError(
+                    "use_fused=True requires the TPU backend (Pallas/Mosaic "
+                    "kernels do not lower on %r); pass fused_interpret=True "
+                    "to emulate on CPU" % jax.default_backend()
+                )
             return use_fused
         if fused_interpret:
             return True
         return (
             jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
-            and x.shape[1] <= MAX_FUSED_N
+            and fused_fits(x.shape[1], x.shape[2])
         )
 
     def logp_impl(x, params, state_indices):

@@ -76,6 +76,15 @@ def parse_args(argv=None):
     parser.add_argument("--sr", action="store_true", help="stochastic reconfiguration")
     parser.add_argument("--damping", type=float, default=1e-3)
     parser.add_argument("--max_norm", type=float, default=1e-3)
+    parser.add_argument("--sr_solver", choices=["plain", "refined", "host64"], default="plain",
+                        help="SR dense-solve variant: plain f32 on device; 'refined' adds "
+                             "Jacobi scaling + 2 rounds of iterative refinement; 'host64' "
+                             "pulls the Fisher matrices to the host each apply step and "
+                             "solves in float64 (LAPACK)")
+    parser.add_argument("--tripwire_sigma", type=float, default=15.0,
+                        help="revert an update when F jumps upward by more than this many "
+                             "combined standard errors in one epoch (0 disables); guards "
+                             "against rare catastrophic f32 SR steps")
 
     # training
     parser.add_argument("--batch", type=int, default=2048,
@@ -239,12 +248,14 @@ def main(argv=None):
     if args.sr:
         classical_score_fn = cg.make_classical_score(log_prob_novmap)
         quantum_score_fn = cg.make_quantum_score(logpsi_novmap)
+        refined = args.sr_solver == "refined"
         sr_opt = hybrid_fisher_sr(classical_score_fn, quantum_score_fn,
-                                  args.damping, args.max_norm)
+                                  args.damping, args.max_norm,
+                                  refine=2 if refined else 0, jacobi=refined)
         optimizer = None
         opt_state = sr_opt.init((params_van, params_flow))
-        print("Optimizer hybrid_fisher_sr: damping = %.5f, max_norm = %.5f"
-              % (args.damping, args.max_norm))
+        print("Optimizer hybrid_fisher_sr: damping = %.5f, max_norm = %.5f, solver = %s"
+              % (args.damping, args.max_norm, args.sr_solver))
     else:
         sr_opt = None
         optimizer = optax.adam(args.lr)
@@ -372,12 +383,41 @@ def main(argv=None):
             print("---- thermal step %d  accept %.4f  (%.3f s) ----"
                   % (i + 1, float(accept_rate), time.time() - t0))
 
+    # ---- host64 apply path ---------------------------------------------------
+    use_host64 = args.sr and args.sr_solver == "host64"
+    if use_host64:
+        from coulombgas_tpu.optim.host_sr import host_hybrid_apply
+
+        _, unravel_van = ravel_pytree(to_host(params_van))
+        _, unravel_flow = ravel_pytree(to_host(params_flow))
+
+        @jax.jit
+        def apply_host_jit(params_van, params_flow, uv, uf):
+            pv = optax.apply_updates(params_van, unravel_van(uv))
+            pf = optax.apply_updates(params_flow, unravel_flow(uf))
+            return pv, pf
+
     # ---- training loop ---------------------------------------------------------
     is_main = jax.process_index() == 0
     log = ObservableLog(path, resume=args.epoch_finished > 0) if is_main else None
+    diag_log = (open(os.path.join(path, "sr_diag.txt"), "a", buffering=1)
+                if (is_main and args.sr) else None)
     total_batch = args.batch * args.acc_steps
 
+    # Update tripwire (failure detection/recovery, no reference analogue):
+    # rare catastrophic f32 SR steps appear as a discrete upward F jump many
+    # standard errors wide in the NEXT epoch's observables (PARITY.md round-2
+    # forensics of the n=29 collapse).  Keep a 2-deep parameter history; on a
+    # jump (or non-finite observables) revert to the pre-jump parameters and
+    # continue — the Markov chains re-thermalize within an epoch.
+    import math
+
+    from coulombgas_tpu.train.tripwire import UpdateTripwire
+
+    tripwire = UpdateTripwire(sigma=args.tripwire_sigma)
+
     for i in range(args.epoch_finished + 1, args.epoch + 1):
+        tripwire.snapshot((params_van, params_flow, opt_state))
         acc = replicate(init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
         # accumulated on device: a host float() here would sync and serialize
         # the sample/accumulate dispatch pipeline every acc step
@@ -387,13 +427,48 @@ def main(argv=None):
             state_indices, x, accept_rate = sample_jit(params_van, params_flow, x, k_sample)
             accept_rate_acc = accept_rate_acc + accept_rate
             acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
-        params_van, params_flow, opt_state, data = apply_jit(
-            params_van, params_flow, opt_state, acc
-        )
+        if use_host64:
+            acc_host = jax.device_get(acc)
+            uv, uf, d, diag = host_hybrid_apply(
+                acc_host, args.acc_steps, args.damping, args.max_norm
+            )
+            params_van, params_flow = apply_host_jit(
+                params_van, params_flow,
+                jnp.asarray(uv, rdtype), jnp.asarray(uf, rdtype),
+            )
+        else:
+            params_van, params_flow, opt_state, data = apply_jit(
+                params_van, params_flow, opt_state, acc
+            )
+            d = {k: float(v) for k, v in data.items()}
+            diag = {k[5:]: d.pop(k) for k in [k for k in d if k.startswith("diag_")]}
 
         accept_rate_acc = float(accept_rate_acc)
-        d = {k: float(v) for k, v in data.items()}
         rs2 = args.rs**2
+
+        # ---- tripwire check (observables describe the PRE-apply params) ----
+        F_raw = d["F_mean"]
+        F_sig = stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) \
+            if math.isfinite(d["F_mean"]) and math.isfinite(d["F2_mean"]) else float("nan")
+        finite = all(math.isfinite(v) for v in d.values())
+        revert_to = tripwire.check(F_raw, F_sig, finite)
+        if revert_to is not None:
+            params_van, params_flow, opt_state = revert_to
+            msg = ("TRIPWIRE epoch %d: %s (F %.6f) — reverted to pre-jump "
+                   "parameters" % (
+                       i, "upward F jump" if finite else "non-finite observables",
+                       F_raw))
+            print(msg)
+            if diag_log is not None:
+                diag_log.write("# " + msg + "\n")
+            if tripwire.disabled:
+                print("TRIPWIRE: too many reverts in a short window — disabled "
+                      "(persistent instability, not a rare bad step)")
+
+        if diag_log is not None and diag:
+            diag_log.write("%6d  %.6e  %.4f  %.6e  %.4f\n" % (
+                i, diag.get("gnorm_van", float("nan")), diag.get("scale_van", float("nan")),
+                diag.get("gnorm_flow", float("nan")), diag.get("scale_flow", float("nan"))))
         if is_main:
             log.write_train(
                 i,

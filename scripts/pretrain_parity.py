@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--clip", type=float, default=None,
                         help="TV clip factor for the REINFORCE weights "
                         "(off by default = reference semantics)")
+    parser.add_argument("--solver", choices=["plain", "refined", "host64"], default="plain",
+                        help="SR dense-solve numerics (host64 = f64 LAPACK on host)")
     args = parser.parse_args()
 
     import jax
@@ -58,7 +60,8 @@ def main():
 
     path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}"
                         + (f"_seed_{args.seed}" if args.seed != 42 else "")
-                        + (f"_clip_{args.clip:g}" if args.clip is not None else ""))
+                        + (f"_clip_{args.clip:g}" if args.clip is not None else "")
+                        + (f"_{args.solver}" if args.solver != "plain" else ""))
     os.makedirs(path, exist_ok=True)
 
     F_x, E_x, S_x = (
@@ -72,6 +75,7 @@ def main():
         path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
         log_every=args.log_every, clip_factor=args.clip,
+        solver=args.solver,
     )
     from coulombgas_tpu.io.checkpoint import pretrained_model_filename, save_data
 

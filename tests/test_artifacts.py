@@ -1,0 +1,80 @@
+"""CI guards over the committed run artifacts in data/.
+
+Round-1 lesson (VERDICT.md): PARITY.md claimed n=29 stage-2 parity while the
+committed log NaN'd at epoch 1092 — prose and artifacts drifted apart because
+nothing mechanical tied them together.  These tests make the claims honest:
+
+  * every committed data.txt (outside the quarantined data/failed_r1/) must
+    be finite over its convergence tail and must not END in NaN;
+  * the stage-1 parity logs must reproduce the mpmath canonical-ensemble
+    oracle to their documented per-particle tolerance, recomputed from the
+    raw log here (not copied from prose).
+
+The oracle free energies are exact constants (analytic/canonical.py Z_E,
+cross-validated in tests/test_analytic.py); they are pinned here numerically
+so this test does not pay the multi-second mpmath recursion per run.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+
+# (relative log path, particle number, exact oracle F, tolerance per particle)
+# Tolerances document the CURRENT demonstrated precision of each artifact
+# (PARITY.md); tightening them requires better runs, loosening them is a
+# regression that should fail review.
+PARITY_MANIFEST = [
+    ("parity/n_13_Emax_25_batch_8192/data.txt", 13, 24.811052, 1e-4),
+    ("parity/n_29_Emax_25_batch_8192/data.txt", 29, 54.701205, 1e-4),
+    ("parity_f64/n_49_Emax_36_batch_2048/data.txt", 49, 91.902217, 7e-4),
+    ("parity_n57_f64/n_57_Emax_49_batch_2048/data.txt", 57, 106.762954, 3e-4),
+]
+
+
+def _logs():
+    out = []
+    for f in sorted(glob.glob(os.path.join(DATA, "**", "data.txt"), recursive=True)):
+        rel = os.path.relpath(f, DATA)
+        if rel.startswith("failed_r1" + os.sep):
+            continue  # quarantined forensic artifacts (see data/failed_r1/README.md)
+        out.append(f)
+    return out
+
+
+def test_committed_logs_exist():
+    assert len(_logs()) >= 8, "committed run artifacts went missing"
+
+
+@pytest.mark.parametrize("path", _logs(), ids=lambda p: os.path.relpath(p, DATA))
+def test_no_nan_in_convergence_tail(path):
+    """The final half of every committed log must be finite, incl. the last row.
+
+    (A transient non-finite row earlier in a run can be a logged-and-reverted
+    tripwire event; a non-finite TAIL means the run died — that artifact
+    belongs in data/failed_r1/, not here.)
+    """
+    rows = np.loadtxt(path, ndmin=2)
+    if rows.size == 0:
+        pytest.skip("empty log")
+    tail = rows[len(rows) // 2:]
+    assert np.isfinite(tail).all(), "non-finite values in the convergence tail"
+
+
+@pytest.mark.parametrize("rel,n,exact,tol", PARITY_MANIFEST,
+                         ids=[m[0].split("/")[0] + "_n%d" % m[1] for m in PARITY_MANIFEST])
+def test_stage1_parity_tail_vs_oracle(rel, n, exact, tol):
+    """Tail-mean F of each committed stage-1 log vs the exact oracle."""
+    path = os.path.join(DATA, rel)
+    assert os.path.isfile(path), "documented parity artifact missing: " + rel
+    rows = np.loadtxt(path, ndmin=2)
+    tail = rows[-max(1, len(rows) // 5):]
+    F = tail[:, 1].mean()
+    diff_pp = abs(F - exact) / n
+    assert diff_pp <= tol, (
+        "stage-1 parity regression: %s tail-mean F=%.6f vs oracle %.6f -> "
+        "%.2e per particle (tol %.0e)" % (rel, F, exact, diff_pp, tol)
+    )

@@ -1,0 +1,223 @@
+"""Round-2 stability machinery: trust-region guard, host-f64 solves, tripwire.
+
+Forensics of the round-1 n=29 interacting collapse (PARITY.md) traced the
+entropy crash to discrete catastrophic f32 SR steps taken through the
+``gnorm <= 0`` path of the trust-region scaling — these tests pin the fixed
+semantics (garbage curvature => NULL step, never an unscaled step), the
+host-f64 apply path, the MCMC stuck-walker rescue, and the driver tripwire.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coulombgas_tpu.optim.host_sr import host_hybrid_apply, host_solve_scaled, ravel_host
+from coulombgas_tpu.optim.sr import _solve_scaled, hybrid_fisher_sr
+from coulombgas_tpu.sampling.mcmc import mcmc
+from coulombgas_tpu.train.tripwire import UpdateTripwire
+
+
+def test_solve_scaled_negative_curvature_zero_step():
+    """gnorm <= 0 (indefinite f32 solve) must produce a NULL step.
+
+    Round 1 clamped the trust-region denominator to ``tiny`` instead, which
+    sent scale -> 1 and applied the garbage step UNSCALED — the mechanism
+    behind the n=29 epoch-412 catastrophe (PARITY.md round 2).
+    """
+    P = 8
+    # negative-definite "Fisher": g^T M^-1 g < 0 for damping < 1
+    fisher = -jnp.eye(P, dtype=jnp.float32)
+    g = jnp.ones((P,), jnp.float32)
+    upd = _solve_scaled(fisher, g, damping=1e-3, max_norm=1e-3)
+    np.testing.assert_array_equal(np.asarray(upd), np.zeros(P, np.float32))
+
+    upd, diag = _solve_scaled(fisher, g, damping=1e-3, max_norm=1e-3, with_diag=True)
+    assert float(diag["gnorm"]) < 0
+    assert float(diag["scale"]) == 0.0
+
+
+def test_solve_scaled_positive_curvature_unchanged():
+    """Healthy solves keep the reference trust-region semantics exactly."""
+    P = 16
+    key = jax.random.PRNGKey(0)
+    S = jax.random.normal(key, (64, P), jnp.float64)
+    fisher = S.T @ S / 64
+    g = jax.random.normal(jax.random.PRNGKey(1), (P,), jnp.float64)
+    upd = _solve_scaled(fisher, g, damping=1e-3, max_norm=1e-3)
+    M = fisher + 1e-3 * jnp.eye(P)
+    raw = jnp.linalg.solve(M, g)
+    gnorm = float(g @ raw)
+    scale = min(np.sqrt(1e-3 / gnorm), 1.0)
+    np.testing.assert_allclose(np.asarray(upd), np.asarray(-scale * raw), rtol=1e-10)
+
+
+def test_host_solve_matches_device_f64():
+    """host_solve_scaled == _solve_scaled on the same f64 problem."""
+    P = 24
+    key = jax.random.PRNGKey(2)
+    S = jax.random.normal(key, (96, P), jnp.float64)
+    fisher = S.T @ S / 96
+    g = jax.random.normal(jax.random.PRNGKey(3), (P,), jnp.float64)
+    upd_dev = _solve_scaled(fisher, g, damping=1e-3, max_norm=1e-3)
+    upd_host, diag = host_solve_scaled(np.asarray(fisher), np.asarray(g), 1e-3, 1e-3)
+    np.testing.assert_allclose(upd_host, np.asarray(upd_dev), rtol=1e-9)
+    assert diag["gnorm"] > 0
+
+    # negative curvature -> null step, same as the device guard
+    upd_host, diag = host_solve_scaled(-np.eye(P), np.ones(P), 1e-3, 1e-3)
+    np.testing.assert_array_equal(upd_host, np.zeros(P))
+    assert diag["scale"] == 0.0
+
+
+def test_host_hybrid_apply_matches_device_apply():
+    """Full host-f64 apply == the jitted device apply path (f64 CPU).
+
+    Builds a synthetic accumulator pytree exactly as train.accumulate would
+    and runs both apply paths on it.
+    """
+    import optax
+    from jax.flatten_util import ravel_pytree
+
+    from coulombgas_tpu.train.train import make_accumulate_and_apply
+
+    Pv, Pf = 5, 4
+    acc_steps = 3
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 12)
+    params_van = {"a": jax.random.normal(ks[0], (Pv,), jnp.float64)}
+    params_flow = {"b": jax.random.normal(ks[1], (Pf,), jnp.float64)}
+
+    Sc = jax.random.normal(ks[2], (32, Pv), jnp.float64)
+    Sq = jax.random.normal(ks[3], (32, Pf), jnp.float64)
+    data = {k: jax.random.normal(ks[4 + i], ()) ** 2
+            for i, k in enumerate(["F_mean", "F2_mean", "E_mean", "E2_mean",
+                                   "K_mean", "K2_mean", "V_mean", "V2_mean"])}
+    data["S_mean"] = jnp.asarray(1.0, jnp.float64)
+    data["S2_mean"] = jnp.asarray(2.0, jnp.float64)
+    acc = {
+        "data": data,
+        "grads": ({"a": jax.random.normal(ks[8], (Pv,), jnp.float64)},
+                  {"b": jax.random.normal(ks[9], (Pf,), jnp.float64)}),
+        "classical_score": {"a": jax.random.normal(ks[10], (Pv,), jnp.float64)},
+        "quantum_score": {"b": jax.random.normal(ks[11], (Pf,), jnp.float64)},
+        "classical_fisher": Sc.T @ Sc / 32,
+        "quantum_fisher": Sq.T @ Sq / 32,
+        "quantum_score_mean": jnp.stack([Sq.mean(0), 0.1 * Sq.mean(0)]),
+    }
+
+    sr_opt = hybrid_fisher_sr(None, None, 1e-3, 1e-3)
+    _, apply_update = make_accumulate_and_apply(None, None, acc_steps, sr_opt)
+    pv_dev, pf_dev, _, data_dev = apply_update(params_van, params_flow,
+                                               sr_opt.init(None), acc)
+
+    acc_host = jax.device_get(acc)
+    uv, uf, data_host, diag = host_hybrid_apply(acc_host, acc_steps, 1e-3, 1e-3)
+    _, unravel_van = ravel_pytree(params_van)
+    _, unravel_flow = ravel_pytree(params_flow)
+    pv_host = optax.apply_updates(params_van, unravel_van(jnp.asarray(uv)))
+    pf_host = optax.apply_updates(params_flow, unravel_flow(jnp.asarray(uf)))
+
+    np.testing.assert_allclose(np.asarray(pv_host["a"]), np.asarray(pv_dev["a"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(pf_host["b"]), np.asarray(pf_dev["b"]), rtol=1e-9)
+    for k in data:
+        np.testing.assert_allclose(data_host[k], float(data_dev[k]), rtol=1e-12)
+    assert diag["scale_van"] > 0 and diag["scale_flow"] > 0
+
+
+def test_ravel_host_matches_ravel_pytree():
+    from jax.flatten_util import ravel_pytree
+
+    tree = {"b": np.arange(3.0), "a": {"c": np.ones((2, 2)), "d": 5.0}}
+    np.testing.assert_array_equal(ravel_host(tree), np.asarray(ravel_pytree(tree)[0]))
+
+
+def test_mcmc_stuck_walker_rescue():
+    """Walkers whose current logp is non-finite must escape via any finite proposal."""
+
+    def logp_fn(x):
+        # finite only in the right half-plane
+        s = x.sum(axis=(-2, -1))
+        return jnp.where(s > 0, -0.5 * s**2, jnp.nan)
+
+    x0 = -jnp.ones((16, 2, 1), jnp.float64)  # all stuck: logp(x0) = NaN
+    x, _ = mcmc(logp_fn, x0, jax.random.PRNGKey(0), mc_steps=200, mc_stddev=1.0)
+    assert np.all(np.isfinite(np.asarray(logp_fn(x))))
+
+
+def test_pretrain_host64_matches_plain_in_f64():
+    """On CPU f64 the host64 pretrain path reproduces the device solve."""
+    from coulombgas_tpu.models.transformer import TransformerConfig, init_transformer_params
+    from coulombgas_tpu.train.pretrain import pretrain
+
+    n, dim, Theta, Emax = 3, 2, 0.15, 4
+    from coulombgas_tpu.physics.orbitals import sp_orbitals
+
+    _, Es = sp_orbitals(dim, Emax)
+    cfg = TransformerConfig(Es.size, 1, 8, 2, 8)
+    key = jax.random.PRNGKey(0)
+    params0 = init_transformer_params(key, cfg, dim, jnp.float64)
+
+    outs = {}
+    for solver in ("plain", "host64"):
+        outs[solver] = pretrain(
+            cfg, params0, n, dim, Theta, Emax, [0.25, 0.25],
+            "/tmp/pretrain_host64_%s" % solver, key,
+            lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
+            batch=64, epoch=3, check_analytic=False, log_every=10,
+            solver=solver,
+        )
+    a = np.asarray(jax.flatten_util.ravel_pytree(jax.device_get(outs["plain"]))[0])
+    b = np.asarray(jax.flatten_util.ravel_pytree(jax.device_get(outs["host64"]))[0])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9)
+
+
+def test_tripwire_reverts_on_jump_and_nan():
+    tw = UpdateTripwire(sigma=10.0, cooldown=2)
+    # healthy epochs
+    tw.snapshot("p0")
+    assert tw.check(-4.90, 0.01, True) is None
+    tw.snapshot("p1")
+    assert tw.check(-4.91, 0.01, True) is None
+    # catastrophic upward jump: observables describe params from snapshot p1's
+    # epoch, so we revert to the state saved BEFORE that epoch ran
+    tw.snapshot("p2")
+    assert tw.check(-3.00, 0.01, True) == "p1"
+    # cooldown: the recovery epoch must not re-trigger
+    tw.snapshot("p1b")
+    assert tw.check(-4.0, 0.01, True) is None
+    tw.snapshot("p2b")
+    assert tw.check(-4.8, 0.01, True) is None
+
+    # NaN observables also revert (finite=False), regardless of cooldown
+    tw2 = UpdateTripwire(sigma=10.0)
+    tw2.snapshot("a")
+    tw2.check(-1.0, 0.01, True)
+    tw2.snapshot("b")
+    tw2.check(-1.0, 0.01, True)
+    tw2.snapshot("c")
+    assert tw2.check(float("nan"), float("nan"), False) == "b"
+
+
+def test_tripwire_downward_jump_ok():
+    """Fast descent (training progress) must never trigger."""
+    tw = UpdateTripwire(sigma=10.0)
+    F = -1.0
+    for i in range(50):
+        tw.snapshot(i)
+        assert tw.check(F, 0.001, True) is None
+        F -= 0.5  # steep but downward
+
+
+def test_tripwire_disables_after_persistent_instability():
+    tw = UpdateTripwire(sigma=5.0, cooldown=0, max_events=3, window=100)
+    F = 0.0
+    fired = 0
+    for i in range(40):
+        tw.snapshot(i)
+        if tw.check(F, 0.01, True) is not None:
+            fired += 1
+        F += 10.0  # every epoch is a "jump"
+        if tw.disabled:
+            break
+    assert fired == 3 and tw.disabled
