@@ -41,7 +41,8 @@ import jax.numpy as jnp
 
 from .ferminet import FermiNetConfig, _sp_feature
 
-__all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap"]
+__all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap",
+           "ferminet_apply_and_jac_d2"]
 
 
 def _pair_feature_grads(x, L):
@@ -164,6 +165,98 @@ def ferminet_apply_and_jac(params, cfg: FermiNetConfig, x):
     J = (Jsp @ params["final"]["w"]).transpose(0, 3, 1, 2)  # (i,b,l,d)
     J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
     return z, J.reshape(nd, nd)
+
+
+def ferminet_apply_and_jac_d2(params, cfg: FermiNetConfig, x):
+    """Depth-2 flow Jacobian in closed STRUCTURED form — no Jsp state at all.
+
+    ``ferminet_apply_and_jac`` carries the dense single-particle Jacobian
+    state Jsp (n, n, dim, S) through the layers (~300 KB/walker at n=49,
+    read+written several times per Metropolis sweep) — the measured wall for
+    the n >= 49 sampling phase (PERF.md).  For the production depth-2 flow
+    (the reference's only configuration, run/submit.py:33) the recursion is
+    short enough to close algebraically: after layer 0,
+
+        Jsp1_{il} = delta_il D_i + P_{il},   P_{il} = -(1/n) sig0_i ⊙ (A0_{il} W3_0)
+
+    and the final-layer update only ever CONTRACTS Jsp1 with weight matrices
+    and row-wise sigmoid factors, so the full coordinate Jacobian reduces to
+
+        J_{il} = delta_il (I + D_i M_i - SumA1_i N_i)        [diagonal blocks]
+               + A0_{il} K_i + A1_{il} N_i                   [pair terms]
+               + G_l R_i                                     [rank-S mean term]
+
+    with per-row (S x dim)-sized matrices M_i, K_i, N_i, R_i and a single
+    (n, dim, S) mean-accumulator G.  Only the pair-derivative tensors
+    A0 (n,n,dim,2*dim+1) and A1 (n,n,dim,tpsize) are ever materialized —
+    the (n,n,dim,S) state and its multiple HBM passes disappear, and the
+    FLOP count drops ~4x.  Exactly equal (to roundoff) to
+    ``ferminet_apply_and_jac``; differentially tested in
+    tests/test_ferminet_jac.py.
+    """
+    assert cfg.depth == 2, "structured Jacobian is specialized to depth 2"
+    n, dim = x.shape
+    nd = n * dim
+    eye_n = jnp.eye(n, dtype=x.dtype)
+    eye_d = jnp.eye(dim, dtype=x.dtype)
+
+    tp0, A0 = _pair_feature_grads(x, cfg.L)  # (n,n,C0), (n,n,dim,C0)
+
+    # ---- layer 0 (sp stream enters as zeros of width dim) -----------------
+    w0, b0 = params["sp"][0]["w"], params["sp"][0]["b"]
+    w3_0 = w0[2 * dim:]  # the only block reached by nonzero features/derivs
+    pre0 = tp0.mean(axis=1) @ w3_0 + b0  # (n, S)
+    sig0 = jax.nn.sigmoid(pre0)
+    sp1 = jax.nn.softplus(pre0)
+    # D_i = (1/n) sig0_i ⊙ (SumA0_i W3_0): diagonal part of Jsp1
+    sumA0 = A0.sum(axis=1)  # (n, dim, C0)
+    D = sig0[:, None, :] * (sumA0 @ w3_0) / n  # (n, dim, S)
+
+    # ---- pair-local tp layer ---------------------------------------------
+    wt, bt = params["tp"][0]["w"], params["tp"][0]["b"]
+    pre_tp = tp0 @ wt + bt
+    sigt = jax.nn.sigmoid(pre_tp)
+    tp1 = jax.nn.softplus(pre_tp)
+    A1 = sigt[..., None, :] * (A0 @ wt)  # (n, n, dim, C1)
+
+    # ---- final sp layer ----------------------------------------------------
+    S = sp1.shape[-1]
+    w1f, b1f = params["sp"][1]["w"], params["sp"][1]["b"]
+    W1, W2, W3 = w1f[:S], w1f[S:2 * S], w1f[2 * S:]
+    f1 = _sp_feature(sp1, tp1)
+    pre1 = f1 @ w1f + b1f
+    sig1 = jax.nn.sigmoid(pre1)  # (n, S')
+    sp_fin = sp1 + jax.nn.softplus(pre1)
+
+    wf, bf = params["final"]["w"], params["final"]["b"]
+    z = x + (sp_fin @ wf + bf)
+
+    # ---- per-row contraction matrices ------------------------------------
+    # M_i = (I + W1 diag(sig1_i)) wf : (n, S, dim)
+    M = wf[None] + jnp.einsum("st,it,tb->isb", W1, sig1, wf)
+    # K_i = -(1/n) W3_0 diag(sig0_i) M_i : (n, C0, dim)
+    K = -jnp.einsum("cs,is,isb->icb", w3_0, sig0, M) / n
+    # N_i = -(1/n) W3 diag(sig1_i) wf : (n, C1, dim)
+    N = -jnp.einsum("ct,it,tb->icb", W3, sig1, wf) / n
+    # R_i = (1/n) W2 diag(sig1_i) wf : (n, S, dim)
+    R = jnp.einsum("st,it,tb->isb", W2, sig1, wf) / n
+
+    # ---- mean accumulator G_l = sum_k Jsp1_{kl} = D_l + sum_k P_{kl} ------
+    # sum_k P_{kl} = -(1/n) sum_k sig0_k ⊙ (A0_{kl} W3_0)
+    SP = -jnp.einsum("klds,ks->lds", A0 @ w3_0, sig0) / n
+    G = D + SP  # (n, dim, S)
+
+    # ---- assemble J -------------------------------------------------------
+    # pair terms: A0_{il} K_i + A1_{il} N_i ; mean term: G_l R_i
+    Jblk = (jnp.einsum("ildc,icb->ibld", A0, K)
+            + jnp.einsum("ildc,icb->ibld", A1, N)
+            + jnp.einsum("lds,isb->ibld", G, R))
+    # diagonal blocks: I + D_i M_i - SumA1_i N_i
+    diag = (eye_d[None]
+            + jnp.einsum("ids,isb->ibd", D, M)
+            - jnp.einsum("idc,icb->ibd", A1.sum(axis=1), N))
+    Jblk = Jblk + jnp.einsum("il,ibd->ibld", eye_n, diag)
+    return z, Jblk.reshape(nd, nd)
 
 
 def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):

@@ -76,3 +76,34 @@ def test_analytic_laplacian_matches_ad(depth, dim, n):
     ).sum(axis=1)
     np.testing.assert_allclose(np.asarray(lap), np.asarray(lap_ref),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_structured_d2_jacobian_matches_carried_and_ad():
+    """Depth-2 closed-form Jacobian == carried-state analytic == jacfwd.
+
+    The structured form (ferminet_apply_and_jac_d2) materializes no
+    (n, n, dim, S) single-particle Jacobian state; it must stay exactly
+    equal (to roundoff) to both other implementations, for dim 2 and 3.
+    """
+    import numpy as np
+
+    from coulombgas_tpu.models.ferminet import ferminet_apply
+    from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac_d2
+
+    for n, dim in [(5, 2), (4, 3)]:
+        cfg = cg.FermiNetConfig(2, 8, 8, float(np.sqrt(np.pi * n)))
+        key = jax.random.PRNGKey(0)
+        params = cg.init_ferminet_params(key, cfg, dim, jnp.float64)
+        params = jax.tree.map(
+            lambda a: a + 0.3 * jax.random.normal(jax.random.PRNGKey(1), a.shape, a.dtype),
+            params,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(2), (n, dim), jnp.float64, 0.0, cfg.L)
+        z0, J0 = ferminet_apply_and_jac(params, cfg, x)
+        z1, J1 = ferminet_apply_and_jac_d2(params, cfg, x)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), rtol=0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), rtol=0, atol=1e-12)
+        Jad = jax.jacfwd(
+            lambda q: ferminet_apply(params, cfg, q.reshape(n, dim)).ravel()
+        )(x.ravel())
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(Jad), rtol=0, atol=1e-12)
