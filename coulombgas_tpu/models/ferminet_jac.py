@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from .ferminet import FermiNetConfig, _sp_feature
 
 __all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap",
-           "ferminet_apply_and_jac_d2"]
+           "ferminet_apply_and_jac_d2", "ferminet_apply_jac_lap_d2"]
 
 
 def _pair_feature_grads(x, L):
@@ -330,3 +330,96 @@ def ferminet_apply_jac_lap(params, cfg: FermiNetConfig, x):
     J = J + jnp.einsum("il,ba->ibla", eye_n, jnp.eye(dim, dtype=x.dtype))
     lap_z = Lsp @ params["final"]["w"]  # (n, dim); x-term is linear
     return z, J.reshape(nd, nd), lap_z.reshape(nd)
+
+
+def ferminet_apply_jac_lap_d2(params, cfg: FermiNetConfig, x):
+    """Depth-2 forward + Jacobian + coordinate Laplacian, structured form.
+
+    Same closure as ``ferminet_apply_and_jac_d2`` extended with the analytic
+    Laplacian propagation of ``ferminet_apply_jac_lap``: the carried
+    (n,n,dim,S) Jacobian state disappears; the squared-first-derivative sums
+    the softplus chain rule needs decompose over the SAME structured blocks
+
+        JfW1_{il} = delta_il T_i + U_il + V_l
+
+    (T diagonal, U pair-transient, V mean), so
+    sum_{l,d} JfW1^2 = [(T+V_i)^2 - V_i^2]_d-sum + sum U^2 + 2 sum_l U.V_l
+    + sum_l V_l^2 with only single-pass pair transients.  Exactly equal to
+    ``ferminet_apply_jac_lap`` (differentially tested).
+    """
+    assert cfg.depth == 2, "structured Jacobian is specialized to depth 2"
+    n, dim = x.shape
+    nd = n * dim
+    eye_n = jnp.eye(n, dtype=x.dtype)
+    eye_d = jnp.eye(dim, dtype=x.dtype)
+
+    tp0, A0 = _pair_feature_grads(x, cfg.L)
+    Ltp0 = 2.0 * _pair_feature_lap(x, cfg.L)  # (n, n, C0)
+
+    # ---- layer 0 ----------------------------------------------------------
+    w0, b0 = params["sp"][0]["w"], params["sp"][0]["b"]
+    w3_0 = w0[2 * dim:]
+    pre0 = tp0.mean(axis=1) @ w3_0 + b0
+    sig0 = jax.nn.sigmoid(pre0)
+    sp1 = jax.nn.softplus(pre0)
+    AW0 = A0 @ w3_0                      # (n, n, dim, S) transient
+    sumAW0 = AW0.sum(axis=1)             # (n, dim, S)
+    D = sig0[:, None, :] * sumAW0 / n    # diagonal block of Jsp1
+    # Laplacian through layer 0: sig0*(mean_j Ltp0 @ w3_0) + sig0'(JfW0^2 sums)
+    sq0 = ((sumAW0**2).sum(axis=1) + (AW0**2).sum(axis=(1, 2))) / n**2  # (n, S)
+    Lsp1 = sig0 * (Ltp0.mean(axis=1) @ w3_0) + sig0 * (1 - sig0) * sq0
+
+    # ---- pair-local tp layer ---------------------------------------------
+    wt, bt = params["tp"][0]["w"], params["tp"][0]["b"]
+    pre_tp = tp0 @ wt + bt
+    sigt = jax.nn.sigmoid(pre_tp)
+    tp1 = jax.nn.softplus(pre_tp)
+    AWt = A0 @ wt
+    A1 = sigt[..., None, :] * AWt
+    Ltp1 = sigt * (Ltp0 @ wt) + sigt * (1 - sigt) * (2.0 * (AWt**2).sum(axis=-2))
+
+    # ---- final sp layer ----------------------------------------------------
+    S = sp1.shape[-1]
+    w1f, b1f = params["sp"][1]["w"], params["sp"][1]["b"]
+    W1, W2, W3 = w1f[:S], w1f[S:2 * S], w1f[2 * S:]
+    f1 = _sp_feature(sp1, tp1)
+    pre1 = f1 @ w1f + b1f
+    sig1 = jax.nn.sigmoid(pre1)
+    sp_fin = sp1 + jax.nn.softplus(pre1)
+
+    wf, bf = params["final"]["w"], params["final"]["b"]
+    z = x + (sp_fin @ wf + bf)
+
+    # structured blocks of JfW1 (see docstring)
+    sumA1 = A1.sum(axis=1)
+    T = D @ W1 + (sumA1 @ W3) / n                      # (n, dim, S')
+    # U_il = P_il W1 - (1/n) A1_il W3,  P_il = -(1/n) sig0_i ⊙ AW0_il
+    U = -((sig0[:, None, None, :] * AW0) @ W1 + A1 @ W3) / n  # (n,n,dim,S')
+    SP = -jnp.einsum("klds,ks->lds", AW0, sig0) / n
+    G = D + SP
+    V = (G @ W2) / n                                   # (n, dim, S')
+
+    Vi = V  # V indexed by l; V_i is the same array at l=i
+    sq1 = (((T + Vi) ** 2 - Vi**2).sum(axis=1)         # diagonal l=i part
+           + (U**2).sum(axis=(1, 2))                   # pair part
+           + 2.0 * jnp.einsum("ilds,lds->is", U, V)    # cross term
+           + (V**2).sum(axis=(0, 1))[None, :])         # sum_l V_l^2 (i-indep)
+    Lf1 = jnp.concatenate(
+        [Lsp1, jnp.broadcast_to(Lsp1.mean(axis=0, keepdims=True), Lsp1.shape),
+         Ltp1.mean(axis=1)], axis=-1)
+    Lsp_fin = Lsp1 + sig1 * (Lf1 @ w1f) + sig1 * (1 - sig1) * sq1
+    lap_z = (Lsp_fin @ wf).reshape(nd)
+
+    # ---- Jacobian assembly (identical to ferminet_apply_and_jac_d2) ------
+    M = wf[None] + jnp.einsum("st,it,tb->isb", W1, sig1, wf)
+    K = -jnp.einsum("cs,is,isb->icb", w3_0, sig0, M) / n
+    N = -jnp.einsum("ct,it,tb->icb", W3, sig1, wf) / n
+    R = jnp.einsum("st,it,tb->isb", W2, sig1, wf) / n
+    Jblk = (jnp.einsum("ildc,icb->ibld", A0, K)
+            + jnp.einsum("ildc,icb->ibld", A1, N)
+            + jnp.einsum("lds,isb->ibld", G, R))
+    diag = (eye_d[None]
+            + jnp.einsum("ids,isb->ibd", D, M)
+            - jnp.einsum("idc,icb->ibd", sumA1, N))
+    Jblk = Jblk + jnp.einsum("il,ibd->ibld", eye_n, diag)
+    return z, Jblk.reshape(nd, nd), lap_z

@@ -216,12 +216,15 @@ def main(argv=None):
         # structured closed form: no (n,n,dim,S) Jacobian state carried
         # (models/ferminet_jac.py:ferminet_apply_and_jac_d2) — the state's
         # HBM traffic is the n>=49 sampling-phase wall (PERF.md)
-        from coulombgas_tpu.models.ferminet_jac import ferminet_apply_and_jac_d2
+        from coulombgas_tpu.models.ferminet_jac import (
+            ferminet_apply_and_jac_d2, ferminet_apply_jac_lap_d2,
+        )
 
         flow_jac = lambda p, x: ferminet_apply_and_jac_d2(p, flow_cfg, x)
+        flow_jac_lap = lambda p, x: ferminet_apply_jac_lap_d2(p, flow_cfg, x)
     else:
         flow_jac = lambda p, x: cg.ferminet_apply_and_jac(p, flow_cfg, x)
-    flow_jac_lap = lambda p, x: cg.ferminet_apply_jac_lap(p, flow_cfg, x)
+        flow_jac_lap = lambda p, x: cg.ferminet_apply_jac_lap(p, flow_cfg, x)
     logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
     if args.slow_logp:
         # escape hatch: generic-AD Jacobians + LU slogdets everywhere

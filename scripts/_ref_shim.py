@@ -20,6 +20,9 @@ shim = types.ModuleType("jax.config")
 shim.config = jax.config
 sys.modules["jax.config"] = shim
 
+# removed-in-0.5 aliases the reference still calls
+jax.tree_map = jax.tree.map
+
 sys.path.insert(0, "/root/reference")
 sys.argv = ["main.py"] + sys.argv[1:]
 runpy.run_path("/root/reference/main.py", run_name="__main__")

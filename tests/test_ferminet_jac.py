@@ -107,3 +107,26 @@ def test_structured_d2_jacobian_matches_carried_and_ad():
             lambda q: ferminet_apply(params, cfg, q.reshape(n, dim)).ravel()
         )(x.ravel())
         np.testing.assert_allclose(np.asarray(J1), np.asarray(Jad), rtol=0, atol=1e-12)
+
+
+def test_structured_d2_jac_lap_matches_carried():
+    """Depth-2 closed-form jac+lap == the carried-state implementation."""
+    import numpy as np
+
+    from coulombgas_tpu.models.ferminet_jac import (
+        ferminet_apply_jac_lap, ferminet_apply_jac_lap_d2,
+    )
+
+    for n, dim in [(5, 2), (4, 3)]:
+        cfg = cg.FermiNetConfig(2, 8, 8, float(np.sqrt(np.pi * n)))
+        params = cg.init_ferminet_params(jax.random.PRNGKey(0), cfg, dim, jnp.float64)
+        params = jax.tree.map(
+            lambda a: a + 0.3 * jax.random.normal(jax.random.PRNGKey(1), a.shape, a.dtype),
+            params,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(2), (n, dim), jnp.float64, 0.0, cfg.L)
+        z0, J0, L0 = ferminet_apply_jac_lap(params, cfg, x)
+        z1, J1, L1 = ferminet_apply_jac_lap_d2(params, cfg, x)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), rtol=0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), rtol=0, atol=1e-12)
