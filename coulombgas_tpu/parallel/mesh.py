@@ -45,16 +45,31 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _commit(x, spec: NamedSharding):
+    """Commit one array to a (possibly multi-process) sharding.
+
+    Single process: plain device_put.  Multi-process (pod slices over DCN):
+    the mesh spans non-addressable devices, so build the global jax.Array via
+    ``make_array_from_callback`` — every process holds the full value locally
+    (the drivers generate batch/params identically from the same PRNG seed)
+    and contributes the shards it owns.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, spec)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, spec, lambda idx: arr[idx])
+
+
 def shard_batch(pytree, mesh: Mesh):
     """Commit batch-leading arrays to the data-parallel sharding."""
     spec = batch_spec(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), pytree)
+    return jax.tree.map(lambda x: _commit(x, spec), pytree)
 
 
 def replicate(pytree, mesh: Mesh):
     """Commit a pytree to fully-replicated placement on the mesh."""
     spec = replicated_spec(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), pytree)
+    return jax.tree.map(lambda x: _commit(x, spec), pytree)
 
 
 def host_gather(pytree):

@@ -121,8 +121,9 @@ def pretrain(
     opt_state = optimizer.init(params_van)
 
     mesh = mesh if mesh is not None else make_mesh()
-    rep = replicated_spec(mesh)
-    params_van = jax.device_put(params_van, rep)
+    from ..parallel.mesh import replicate
+
+    params_van = replicate(params_van, mesh)  # multi-process-safe commit
 
     @jax.jit
     def update(params_van, opt_state, key):
@@ -162,7 +163,8 @@ def pretrain(
         def apply_upd(params_van, uv):
             return optax.apply_updates(params_van, unravel(uv))
 
-    log = ObservableLog(path)
+    is_main = jax.process_index() == 0
+    log = ObservableLog(path) if is_main else None
     sqrtb = float(np.sqrt(batch))
     for i in range(1, epoch + 1):
         if host64:
@@ -173,7 +175,7 @@ def pretrain(
             params_van = apply_upd(params_van, jnp.asarray(uv, dtype))
         else:
             params_van, opt_state, key, aux = update(params_van, opt_state, key)
-        if i % log_every == 0:
+        if i % log_every == 0 and log is not None:
             a = jax.device_get(aux)
             log.write_pretrain(
                 i,
@@ -181,5 +183,6 @@ def pretrain(
                 float(a["E_mean"]), float(a["E_std"]) / sqrtb,
                 float(a["S_mean"]), float(a["S_std"]) / sqrtb,
             )
-    log.close()
+    if log is not None:
+        log.close()
     return params_van

@@ -104,6 +104,12 @@ def parse_args(argv=None):
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (TPU pod slices over DCN)")
+    parser.add_argument("--coordinator", default=None,
+                        help="multihost coordinator host:port (default: cluster autodetect)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multihost process count (with --coordinator)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this process's rank (with --coordinator)")
     return parser.parse_args(argv)
 
 
@@ -116,7 +122,17 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         # One process per host on a pod slice; device mesh spans all chips.
-        jax.distributed.initialize()
+        # On TPU pods the coordinator is autodetected; explicit flags cover
+        # manual launches (and the CPU-backend multi-process test,
+        # tests/test_multihost.py).
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     from coulombgas_tpu.config import default_precision
 
@@ -203,7 +219,8 @@ def main(argv=None):
             pre_lr, pre_sr, pre_damping, pre_maxnorm,
             args.pre_batch, epoch=args.pre_epoch,
         )
-        save_data(params_van, pre_fname)
+        if jax.process_index() == 0:
+            save_data(to_host(params_van), pre_fname)
         print("Pretraining done; saved to", pre_fname)
 
     # ---- flow + logpsi ----------------------------------------------------
