@@ -86,3 +86,40 @@ def test_fused_kernel_near_singular_deflates():
     out = fused_logp_pallas(u, kvec, J, L, interpret=True)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(out[0]) < float(out[1]) - 10.0
+
+
+def test_fused_vmem_gate_dim_aware():
+    """The fused-kernel gate must scale with nd^2 = (n*dim)^2, not n alone.
+
+    dim=2 production sizes (n <= 57) fit; dim=3 at the same n roughly
+    doubles nd and quadruples the Gram scratch -> must be rejected
+    (ADVICE round 1).
+    """
+    from coulombgas_tpu.ops.pallas_fused_logp import fused_fits, fused_vmem_bytes
+
+    assert fused_fits(13, 2) and fused_fits(49, 2) and fused_fits(57, 2)
+    assert not fused_fits(57, 3)
+    assert fused_vmem_bytes(57, 3) > 1.8 * fused_vmem_bytes(57, 2)
+
+
+def test_use_fused_requires_tpu_backend():
+    """Explicit use_fused=True on a non-TPU backend must fail loudly."""
+    import numpy as np
+    import pytest
+
+    from coulombgas_tpu.models.ferminet import FermiNetConfig, ferminet_apply, init_ferminet_params
+    from coulombgas_tpu.physics.orbitals import sp_orbitals, twist_sort
+    from coulombgas_tpu.wavefunction.fast_logp import make_logp_fast
+
+    n, dim = 5, 2
+    L = float(np.sqrt(np.pi * n))
+    cfg = FermiNetConfig(2, 8, 8, L)
+    params = init_ferminet_params(jax.random.PRNGKey(0), cfg, dim, jnp.float64)
+    sp_indices, _ = sp_orbitals(dim, 4)
+    sp_twist, _ = twist_sort(sp_indices, np.array([0.25, 0.25]))
+    logp = make_logp_fast(lambda p, x: ferminet_apply(p, cfg, x),
+                          np.asarray(sp_twist, np.float64), L, use_fused=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, n, dim), jnp.float64, 0, L)
+    si = jnp.tile(jnp.arange(n)[None], (4, 1))
+    with pytest.raises(ValueError, match="TPU backend"):
+        logp(x, params, si)
