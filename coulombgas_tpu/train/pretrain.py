@@ -9,6 +9,8 @@ src/freefermion/pretraining.py:9-108, rebuilt on the global-batch mesh style.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +73,7 @@ def pretrain(
     check_analytic=True, dps=600,
     log_every=1, clip_factor=None,
     solver="plain",
+    tripwire_sigma=15.0,
 ):
     """Train the VAN on free fermions; returns the trained parameters.
 
@@ -166,7 +169,18 @@ def pretrain(
     is_main = jax.process_index() == 0
     log = ObservableLog(path) if is_main else None
     sqrtb = float(np.sqrt(batch))
+
+    # Same failure-detection/recovery as the interacting loop (train/tripwire.py):
+    # the n=49 f32 probes showed rare catastrophic SR steps (discrete upward F
+    # jump, then a dead deterministic collapse).  Observables at epoch i are
+    # computed from the parameters ENTERING epoch i, i.e. produced by epoch
+    # i-1's apply — a jump detected at i reverts to the snapshot taken at the
+    # top of epoch i-1 (two back), exactly the train-loop semantics.
+    from .tripwire import UpdateTripwire
+
+    tripwire = UpdateTripwire(sigma=tripwire_sigma)
     for i in range(1, epoch + 1):
+        tripwire.snapshot((params_van, opt_state))
         if host64:
             g, fisher, key, aux = grads_and_fisher(params_van, key)
             uv, _ = host_solve_scaled(
@@ -175,11 +189,20 @@ def pretrain(
             params_van = apply_upd(params_van, jnp.asarray(uv, dtype))
         else:
             params_van, opt_state, key, aux = update(params_van, opt_state, key)
+        a = jax.device_get(aux)
+        F_raw, F_err = float(a["F_mean"]), float(a["F_std"]) / sqrtb
+        finite = all(math.isfinite(float(a[k])) for k in
+                     ("F_mean", "E_mean", "S_mean", "F_std"))
+        revert_to = tripwire.check(F_raw, F_err, finite)
+        if revert_to is not None:
+            params_van, opt_state = revert_to
+            print("TRIPWIRE epoch %d: F=%.6f +- %.6f (finite=%s) -> revert"
+                  % (i, F_raw, F_err, finite))
+            continue
         if i % log_every == 0 and log is not None:
-            a = jax.device_get(aux)
             log.write_pretrain(
                 i,
-                float(a["F_mean"]), float(a["F_std"]) / sqrtb,
+                F_raw, F_err,
                 float(a["E_mean"]), float(a["E_std"]) / sqrtb,
                 float(a["S_mean"]), float(a["S_std"]) / sqrtb,
             )

@@ -33,6 +33,9 @@ def main():
                         "(off by default = reference semantics)")
     parser.add_argument("--solver", choices=["plain", "refined", "host64"], default="plain",
                         help="SR dense-solve numerics (host64 = f64 LAPACK on host)")
+    parser.add_argument("--tripwire", type=float, default=15.0,
+                        help="update-tripwire threshold in combined stderrs "
+                        "(train/tripwire.py); 0 disables")
     args = parser.parse_args()
 
     import jax
@@ -75,7 +78,7 @@ def main():
         path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
         log_every=args.log_every, clip_factor=args.clip,
-        solver=args.solver,
+        solver=args.solver, tripwire_sigma=args.tripwire,
     )
     from coulombgas_tpu.io.checkpoint import pretrained_model_filename, save_data
 
