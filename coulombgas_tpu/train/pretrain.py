@@ -74,6 +74,7 @@ def pretrain(
     log_every=1, clip_factor=None,
     solver="plain",
     tripwire_sigma=15.0,
+    ckpt_every=0, epoch_finished=0,
 ):
     """Train the VAN on free fermions; returns the trained parameters.
 
@@ -174,17 +175,29 @@ def pretrain(
     # the n=49 f32 probes showed rare catastrophic SR steps (discrete upward F
     # jump, then a dead deterministic collapse).  Observables at epoch i are
     # computed from the parameters ENTERING epoch i, i.e. produced by epoch
-    # i-1's apply — a jump detected at i reverts to the snapshot taken at the
-    # top of epoch i-1 (two back), exactly the train-loop semantics.
+    # i-1's apply — a jump detected at i reverts to the best healthy snapshot.
+    # On persistent instability the tripwire shrinks trust_scale, which the
+    # host64 path below applies to the SR trust radius max_norm.
     from .tripwire import UpdateTripwire
 
     tripwire = UpdateTripwire(sigma=tripwire_sigma)
-    for i in range(1, epoch + 1):
+
+    def save_ckpt(i):
+        if ckpt_every and is_main:
+            import os
+            import pickle
+
+            with open(os.path.join(path, "ckpt_van.pkl"), "wb") as f:
+                pickle.dump({"epoch": i,
+                             "params_van": jax.device_get(params_van)}, f)
+
+    for i in range(epoch_finished + 1, epoch + 1):
         tripwire.snapshot((params_van, opt_state))
         if host64:
             g, fisher, key, aux = grads_and_fisher(params_van, key)
             uv, _ = host_solve_scaled(
-                jax.device_get(fisher), jax.device_get(g), damping, max_norm
+                jax.device_get(fisher), jax.device_get(g), damping,
+                max_norm * tripwire.trust_scale,
             )
             params_van = apply_upd(params_van, jnp.asarray(uv, dtype))
         else:
@@ -193,11 +206,15 @@ def pretrain(
         F_raw, F_err = float(a["F_mean"]), float(a["F_std"]) / sqrtb
         finite = all(math.isfinite(float(a[k])) for k in
                      ("F_mean", "E_mean", "S_mean", "F_std"))
+        scale_before = tripwire.trust_scale
         revert_to = tripwire.check(F_raw, F_err, finite)
         if revert_to is not None:
             params_van, opt_state = revert_to
             print("TRIPWIRE epoch %d: F=%.6f +- %.6f (finite=%s) -> revert"
                   % (i, F_raw, F_err, finite))
+            if tripwire.trust_scale != scale_before:
+                print("TRIPWIRE: event burst -> trust radius scaled to %g"
+                      % (max_norm * tripwire.trust_scale))
             continue
         if i % log_every == 0 and log is not None:
             log.write_pretrain(
@@ -206,6 +223,9 @@ def pretrain(
                 float(a["E_mean"]), float(a["E_std"]) / sqrtb,
                 float(a["S_mean"]), float(a["S_std"]) / sqrtb,
             )
+        if ckpt_every and i % ckpt_every == 0:
+            save_ckpt(i)
+    save_ckpt(epoch)
     if log is not None:
         log.close()
     return params_van

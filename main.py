@@ -435,9 +435,10 @@ def main(argv=None):
     # Update tripwire (failure detection/recovery, no reference analogue):
     # rare catastrophic f32 SR steps appear as a discrete upward F jump many
     # standard errors wide in the NEXT epoch's observables (PARITY.md round-2
-    # forensics of the n=29 collapse).  Keep a 2-deep parameter history; on a
-    # jump (or non-finite observables) revert to the pre-jump parameters and
-    # continue — the Markov chains re-thermalize within an epoch.
+    # forensics of the n=29 collapse).  On a jump (or non-finite observables)
+    # revert to the best healthy parameters and continue — the Markov chains
+    # re-thermalize within an epoch; on persistent event bursts the tripwire
+    # shrinks trust_scale, applied below to the host64 trust radius.
     import math
 
     from coulombgas_tpu.train.tripwire import UpdateTripwire
@@ -458,7 +459,8 @@ def main(argv=None):
         if use_host64:
             acc_host = jax.device_get(acc)
             uv, uf, d, diag = host_hybrid_apply(
-                acc_host, args.acc_steps, args.damping, args.max_norm
+                acc_host, args.acc_steps, args.damping,
+                args.max_norm * tripwire.trust_scale,
             )
             params_van, params_flow = apply_host_jit(
                 params_van, params_flow,
@@ -489,9 +491,9 @@ def main(argv=None):
             print(msg)
             if diag_log is not None:
                 diag_log.write("# " + msg + "\n")
-            if tripwire.disabled:
-                print("TRIPWIRE: too many reverts in a short window — disabled "
-                      "(persistent instability, not a rare bad step)")
+            if tripwire.trust_scale < 1.0:
+                print("TRIPWIRE: trust radius scaled to %g"
+                      % (args.max_norm * tripwire.trust_scale))
 
         if diag_log is not None and diag:
             diag_log.write("%6d  %.6e  %.4f  %.6e  %.4f\n" % (

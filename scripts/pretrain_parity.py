@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--tripwire", type=float, default=15.0,
                         help="update-tripwire threshold in combined stderrs "
                         "(train/tripwire.py); 0 disables")
+    parser.add_argument("--ckpt_every", type=int, default=50,
+                        help="save params_van to ckpt_van.pkl every this many "
+                        "epochs (0 disables)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the run directory's ckpt_van.pkl")
     args = parser.parse_args()
 
     import jax
@@ -73,12 +78,23 @@ def main():
                      [mpf(str(t)) for t in twist], args.Emax, dps=args.dps)
     )
 
+    epoch_finished = 0
+    if args.resume:
+        import pickle
+
+        with open(os.path.join(path, "ckpt_van.pkl"), "rb") as f:
+            ckpt = pickle.load(f)
+        params, epoch_finished = ckpt["params_van"], ckpt["epoch"]
+        key = jax.random.fold_in(key, epoch_finished)
+        print("resuming from epoch %d" % epoch_finished)
+
     params = pretrain(
         cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,
         path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
         log_every=args.log_every, clip_factor=args.clip,
         solver=args.solver, tripwire_sigma=args.tripwire,
+        ckpt_every=args.ckpt_every, epoch_finished=epoch_finished,
     )
     from coulombgas_tpu.io.checkpoint import pretrained_model_filename, save_data
 

@@ -174,22 +174,23 @@ def test_pretrain_host64_matches_plain_in_f64():
 
 def test_tripwire_reverts_on_jump_and_nan():
     tw = UpdateTripwire(sigma=10.0, cooldown=2)
-    # healthy epochs
-    tw.snapshot("p0")
-    assert tw.check(-4.90, 0.01, True) is None
-    tw.snapshot("p1")
-    assert tw.check(-4.91, 0.01, True) is None
-    # catastrophic upward jump: observables describe params from snapshot p1's
-    # epoch, so we revert to the state saved BEFORE that epoch ran
-    tw.snapshot("p2")
-    assert tw.check(-3.00, 0.01, True) == "p1"
+    # healthy epochs (>= 7 deltas so the scatter estimate arms the detector)
+    best = None
+    for i in range(8):
+        F = -4.90 - 0.002 * i
+        tw.snapshot("p%d" % i)
+        assert tw.check(F, 0.01, True) is None
+        best = "p%d" % i  # descending: every epoch is the new best
+    # catastrophic upward jump: revert to the best healthy parameters
+    tw.snapshot("pbad")
+    assert tw.check(-3.00, 0.01, True) == best
     # cooldown: the recovery epoch must not re-trigger
     tw.snapshot("p1b")
     assert tw.check(-4.0, 0.01, True) is None
     tw.snapshot("p2b")
     assert tw.check(-4.8, 0.01, True) is None
 
-    # NaN observables also revert (finite=False), regardless of cooldown
+    # NaN observables revert even before the detector arms (no scatter yet)
     tw2 = UpdateTripwire(sigma=10.0)
     tw2.snapshot("a")
     tw2.check(-1.0, 0.01, True)
@@ -209,15 +210,83 @@ def test_tripwire_downward_jump_ok():
         F -= 0.5  # steep but downward
 
 
-def test_tripwire_disables_after_persistent_instability():
-    tw = UpdateTripwire(sigma=5.0, cooldown=0, max_events=3, window=100)
-    F = 0.0
+def test_tripwire_shrinks_trust_region_on_persistent_instability():
+    """An event burst must shrink trust_scale, never remove protection.
+
+    (The round-2 n=49 run showed disable-on-burst lets the next unguarded
+    catastrophic step collapse the run.)"""
+    tw = UpdateTripwire(sigma=5.0, cooldown=0, burst_events=3, window=100)
+    # establish a healthy baseline first (arms the scatter-based detector)
+    for i in range(8):
+        tw.snapshot(("h", i))
+        assert tw.check(-1.0 - 0.01 * i, 0.01, True) is None
+    F_bad = 10.0
     fired = 0
-    for i in range(40):
-        tw.snapshot(i)
-        if tw.check(F, 0.01, True) is not None:
+    for i in range(12):
+        tw.snapshot(("b", i))
+        if tw.check(F_bad, 0.01, True) is not None:
             fired += 1
-        F += 10.0  # every epoch is a "jump"
-        if tw.disabled:
+    assert fired == 12  # every bad epoch still reverts — no disable
+    assert not tw.disabled
+    assert tw.trust_scale < 1.0  # escalation kicked in
+    assert tw.trust_scale >= tw.min_trust_scale
+
+
+def test_tripwire_trust_scale_relaxes_after_healthy_window():
+    tw = UpdateTripwire(sigma=5.0, cooldown=0, burst_events=2, window=10)
+    for i in range(8):  # healthy baseline arms the detector
+        tw.snapshot(("h", i))
+        tw.check(-1.0 - 0.01 * i, 0.01, True)
+    for i in range(3):  # burst -> shrink
+        tw.snapshot(("b", i))
+        tw.check(5.0, 0.01, True)
+    shrunk = tw.trust_scale
+    assert shrunk < 1.0
+    for i in range(40):  # long healthy stretch -> relax back toward 1
+        tw.snapshot(("h2", i))
+        assert tw.check(-1.0 - 1e-4 * i, 0.01, True) is None
+    assert tw.trust_scale > shrunk
+
+
+def test_tripwire_scatter_floor_ignores_plateau_noise():
+    """Near-converged SR fluctuates far more than the MC stderr; the
+    scatter-based floor must keep ordinary noise from firing.
+
+    A fire here reverts to the best healthy params — benign — so the bound
+    is a RATE (a sweep over 30 seeds measured 1 fire per 6000 epochs), not
+    zero: the guard must not fire often enough to stall training."""
+    import random
+
+    fires = 0
+    for seed in range(5):
+        rng = random.Random(seed)
+        tw = UpdateTripwire(sigma=6.0)
+        F0 = 91.95
+        for i in range(200):
+            tw.snapshot(("p", i))
+            # plateau: fluctuation sigma 0.02 >> stderr 0.003
+            if tw.check(F0 + rng.gauss(0.0, 0.02), 0.003, True) is not None:
+                fires += 1
+    assert fires <= 2, fires
+
+
+def test_tripwire_catches_gradual_runaway():
+    """Cumulative ascent above the best anchor fires even when every
+    individual step stays below the step threshold."""
+    import random
+
+    rng = random.Random(1)
+    tw = UpdateTripwire(sigma=6.0)
+    F = 92.3
+    for i in range(100):  # healthy descent establishes scatter + anchor
+        tw.snapshot(("h", i))
+        assert tw.check(F, 0.003, True) is None
+        F += rng.gauss(-0.003, 0.02)
+    caught = None
+    for i in range(60):  # runaway: +0.05/epoch, under the single-step threshold
+        F += 0.05
+        tw.snapshot(("r", i))
+        if tw.check(F, 0.003, True) is not None:
+            caught = i
             break
-    assert fired == 3 and tw.disabled
+    assert caught is not None and caught < 20
