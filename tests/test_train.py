@@ -112,6 +112,40 @@ def test_pretrain_converges_toward_oracle(tmp_path):
     assert last_F > F_exact - 0.05
 
 
+def test_pretrain_checkpoint_resume(tmp_path):
+    """ckpt_every writes ckpt_van.pkl; resuming from it continues the run.
+
+    Long stage-1 runs (n=49: hours) must survive restarts — the resumed
+    segment starts at epoch_finished+1 and appends to the same log.
+    """
+    import pickle
+
+    from coulombgas_tpu.models.transformer import TransformerConfig, init_transformer_params
+    from coulombgas_tpu.physics.orbitals import sp_orbitals
+    from coulombgas_tpu.train.pretrain import pretrain
+
+    n, dim, Theta, Emax = 3, 2, 0.15, 4
+    _, Es = sp_orbitals(dim, Emax)
+    cfg = TransformerConfig(Es.size, 1, 8, 2, 8)
+    key = jax.random.PRNGKey(0)
+    params0 = init_transformer_params(key, cfg, dim, jnp.float64)
+
+    common = dict(lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
+                  batch=32, check_analytic=False, log_every=1)
+    pretrain(cfg, params0, n, dim, Theta, Emax, [0.0, 0.0],
+             str(tmp_path), key, epoch=4, ckpt_every=2, **common)
+    ckpt = pickle.load(open(tmp_path / "ckpt_van.pkl", "rb"))
+    assert ckpt["epoch"] == 4
+
+    pretrain(cfg, ckpt["params_van"], n, dim, Theta, Emax, [0.0, 0.0],
+             str(tmp_path), jax.random.fold_in(key, 4), epoch=6,
+             ckpt_every=2, epoch_finished=ckpt["epoch"], **common)
+    epochs = [int(line.split()[0])
+              for line in open(tmp_path / "data.txt").read().splitlines()]
+    assert epochs == [1, 2, 3, 4, 5, 6]  # appended, no restart from 1
+    assert pickle.load(open(tmp_path / "ckpt_van.pkl", "rb"))["epoch"] == 6
+
+
 def test_microbatched_accumulate_matches_full():
     """In-jit chunked accumulation == whole-batch (when clipping inactive)."""
     import coulombgas_tpu as cg
