@@ -1,8 +1,13 @@
 #!/bin/bash
 # rs-sweep driver: n=29 interacting runs across the coupling sweep, run
-# sequentially on the local chip, then the analysis pipeline
+# sequentially on the local chip with the stabilized optimizer (host-f64 SR
+# solves + update tripwire, the combination that converged n=29 rs=10 to
+# reference parity — PARITY.md), then the analysis pipeline
 # (python -m coulombgas_tpu.analysis.plot) over the results.
 # Reference comparison logs: /root/reference/data/n_29_dim_2_rs_*.
+#
+# Resume-friendly: a run directory whose data.txt already has >= EPOCHS rows
+# is skipped, and a partial run restarts from its newest epoch checkpoint.
 #
 # Usage: scripts/run_sweep.sh [epochs] [rs values...]
 set -e
@@ -12,8 +17,27 @@ shift || true
 RS_LIST=${@:-"1.0 3.0 5.0"}
 for rs in $RS_LIST; do
     echo "==== rs = $rs ===="
+    dir=$(printf "data/interacting/n_29_dim_2_rs_%.1f_Theta_0.15_Emax_25_twist_0.250_0.250_nlayers_2_modelsize_16_nheads_4_nhidden_32_depth_2_spsize_16_tpsize_16_Gmax_15_kappa_10_mctherm_10_mcsteps_50_mcstddev_0.10_hutchinson_damping_0.00100_maxnorm_0.00100_batch_2048_ndevices_1_accsteps_4" "$rs")
+    finished=0
+    if [ -f "$dir/data.txt" ]; then
+        finished=$(tail -1 "$dir/data.txt" | awk '{print $1}')
+        if [ "$finished" -ge "$EPOCHS" ]; then
+            echo "rs=$rs already complete ($finished epochs) — skipping"
+            continue
+        fi
+        # restart from the newest checkpoint at or below the logged epoch
+        ckpt=$(ls "$dir"/epoch_*.pkl 2>/dev/null | sort | tail -1)
+        if [ -n "$ckpt" ]; then
+            finished=$(basename "$ckpt" | sed 's/epoch_0*\([0-9]*\)\.pkl/\1/')
+            echo "resuming rs=$rs from epoch $finished"
+        else
+            finished=0
+        fi
+    fi
     python main.py --n 29 --rs "$rs" --Theta 0.15 --Emax 25 \
         --batch 2048 --acc_steps 4 --epoch "$EPOCHS" \
-        --sr --hutchinson --folder data/interacting/
+        --epoch_finished "$finished" \
+        --sr --hutchinson --sr_solver host64 --tripwire_sigma 6 \
+        --folder data/interacting/
 done
 python -m coulombgas_tpu.analysis.plot data/interacting --S0 --out data/interacting/sweep_S_over_S0.png
