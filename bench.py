@@ -111,12 +111,18 @@ def bench_config(cfg, iters=5, warmup=2):
     phase_means = {k: round(v / iters, 4) for k, v in phases.items()}
 
     extras = {}
-    try:  # XLA-counted FLOPs of the accumulate program -> achieved TFLOP/s
+    si = x2 = k2 = None
+    try:  # one shared sample draw for the diagnostics below (donates x: last use)
         _, k1, k2 = jax.random.split(key, 3)
         si, x2, _ = _retry(sample_jit, params_van, params_flow, x, k1)
-        acc = parts["init_acc"]()
+        jax.block_until_ready(x2)
+    except Exception:
+        pass
+    try:  # XLA-counted FLOPs of the accumulate program -> achieved TFLOP/s
         cost = (
-            accumulate_jit.lower(params_van, params_flow, si, x2, k2, acc)
+            accumulate_jit.lower(
+                params_van, params_flow, si, x2, k2, parts["init_acc"]()
+            )
             .compile()
             .cost_analysis()
         )
@@ -126,6 +132,54 @@ def bench_config(cfg, iters=5, warmup=2):
             extras["accumulate_tflops_per_s"] = round(
                 flops / phase_means["accumulate"] / 1e12, 2
             )
+    except Exception:
+        pass
+    try:
+        # Production (host64) apply step: the parity results at n >= 29 were
+        # produced with --sr_solver host64, whose cost is device->host pull +
+        # f64 LAPACK + update push (optim/host_sr.py) — measure it so the
+        # configuration that achieves the physics has a published step time.
+        import jax.numpy as jnp
+        import optax
+        from jax.flatten_util import ravel_pytree
+
+        from coulombgas_tpu.optim.host_sr import host_hybrid_apply
+
+        _, unravel_van = ravel_pytree(params_van)
+        _, unravel_flow = ravel_pytree(params_flow)
+
+        def _apply_host(pv, pf, uv, uf):
+            return (optax.apply_updates(pv, unravel_van(uv)),
+                    optax.apply_updates(pf, unravel_flow(uf)))
+
+        apply_host_jit = jax.jit(_apply_host)
+        acc = _retry(
+            accumulate_jit, params_van, params_flow, si, x2, k2,
+            parts["init_acc"](),
+        )
+        jax.block_until_ready(acc["data"]["F_mean"])
+        times = {"pull": 0.0, "solve": 0.0, "push_apply": 0.0}
+        h_iters = 2
+        for it in range(h_iters + 1):  # first iteration = compile warmup
+            t0 = time.perf_counter()
+            acc_host = jax.device_get(acc)
+            t1 = time.perf_counter()
+            uv, uf, _, _ = host_hybrid_apply(acc_host, 1, 1e-3, 1e-3)
+            t2 = time.perf_counter()
+            pv, pf = _retry(
+                apply_host_jit, params_van, params_flow,
+                jnp.asarray(uv, parts["rdtype"]), jnp.asarray(uf, parts["rdtype"]),
+            )
+            jax.block_until_ready(pv)
+            t3 = time.perf_counter()
+            if it > 0:
+                times["pull"] += t1 - t0
+                times["solve"] += t2 - t1
+                times["push_apply"] += t3 - t2
+        extras["apply_host64"] = round(sum(times.values()) / h_iters, 4)
+        extras["apply_host64_phases"] = {
+            k: round(v / h_iters, 4) for k, v in times.items()
+        }
     except Exception:
         pass
     try:

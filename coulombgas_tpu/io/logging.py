@@ -27,13 +27,21 @@ class ObservableLog:
     """Line-buffered data.txt writer (values mirrored to stdout)."""
 
     def __init__(self, path: str, resume: bool = False, filename: str = "data.txt"):
-        # ALWAYS append, like the reference (main.py:313): re-launching a
-        # crashed run without --epoch_finished must not destroy its log —
-        # that would erase the evidence exactly when a run died.  (``resume``
-        # is kept for API compatibility; both modes append.)
-        del resume
+        # Reference semantics (reference main.py:311-313): open mode "a" when
+        # resuming from a checkpoint, "w" on a fresh run.  A fresh run into an
+        # existing directory must NOT concatenate two runs' epoch rows — every
+        # tail-mean consumer (tests/test_artifacts.py, scripts/run_sweep.sh,
+        # analysis/) reads data.txt as one monotone series.  But instead of
+        # silently truncating (which would erase the evidence exactly when a
+        # crashed run is re-launched), the old log is moved aside to
+        # ``data.txt.bak<N>``.
         os.makedirs(path, exist_ok=True)
         self.filename = os.path.join(path, filename)
+        if not resume and os.path.exists(self.filename) and os.path.getsize(self.filename) > 0:
+            k = 1
+            while os.path.exists("%s.bak%d" % (self.filename, k)):
+                k += 1
+            os.replace(self.filename, "%s.bak%d" % (self.filename, k))
         self.f = open(self.filename, "a", buffering=1, newline="\n")
 
     def write_train(self, i, F, F_std, E, E_std, K, K_std, V, V_std, S, S_std, accept_rate):

@@ -42,7 +42,43 @@ import jax.numpy as jnp
 from .ferminet import FermiNetConfig, _sp_feature
 
 __all__ = ["ferminet_apply_and_jac", "ferminet_apply_jac_lap",
-           "ferminet_apply_and_jac_d2", "ferminet_apply_jac_lap_d2"]
+           "ferminet_apply_and_jac_d2", "ferminet_apply_jac_lap_d2",
+           "select_flow_jac"]
+
+
+def select_flow_jac(cfg: FermiNetConfig, impl: str = "auto"):
+    """Pick the flow fwd+Jacobian / fwd+Jac+Laplacian implementation pair.
+
+    Returns ``(flow_jac, flow_jac_lap)`` closures of signature
+    ``f(params, x)``.  Implementations:
+
+      * ``"carried"`` — the layer-recursive form carrying the dense
+        (n, n, dim, S) single-particle Jacobian state (any depth);
+      * ``"d2"``      — the depth-2 closed form that never materializes that
+        state (exact for cfg.depth == 2 only);
+      * ``"auto"``    — measured-faster default.  The round-2 A/B on the
+        production shapes (BENCH_r02 vs BENCH_r01, re-measured per-phase in
+        round 3: scripts/bench_flow_jac_ab.py) found the d2 closure LOSES
+        end-to-end at every benched config (n=13/49/57: +15-25% step time)
+        despite ~4x fewer XLA-counted FLOPs — the closure's pair-tensor
+        contractions fuse/tile worse than the carried-state matmul chain at
+        these sizes — so "auto" resolves to "carried".
+    """
+    if impl == "auto":
+        impl = "carried"
+    if impl == "d2":
+        if cfg.depth != 2:
+            raise ValueError("flow_jac 'd2' requires depth == 2 (got %d)" % cfg.depth)
+        return (
+            lambda p, x: ferminet_apply_and_jac_d2(p, cfg, x),
+            lambda p, x: ferminet_apply_jac_lap_d2(p, cfg, x),
+        )
+    if impl == "carried":
+        return (
+            lambda p, x: ferminet_apply_and_jac(p, cfg, x),
+            lambda p, x: ferminet_apply_jac_lap(p, cfg, x),
+        )
+    raise ValueError("unknown flow_jac impl: %r" % (impl,))
 
 
 def _pair_feature_grads(x, L):

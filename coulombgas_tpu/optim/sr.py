@@ -109,13 +109,17 @@ def fisher_sr(score_fn, damping, max_norm, refine: int = 0, jacobi: bool = False
     def init_fn(params):
         return {"gnorm": jnp.zeros(()), "scale": jnp.zeros(())}
 
-    def update_fn(grads, state, params, state_indices):
+    def update_fn(grads, state, params, state_indices, max_norm_scale=1.0):
+        # ``max_norm_scale``: dynamic trust-region escalation factor (the
+        # tripwire shrinks it on persistent event bursts); a traced scalar so
+        # the jitted update need not recompile when it changes.
         grads_raveled, unravel = ravel_pytree(grads)
         score = _ravel_batch(score_fn(params, state_indices))
         batch = score.shape[0]
         # Mean over the (sharded) global batch: psum under jit.
         fisher = score.T @ score / batch
-        upd, diag = _solve_scaled(fisher, grads_raveled, damping, max_norm,
+        upd, diag = _solve_scaled(fisher, grads_raveled, damping,
+                                  max_norm * max_norm_scale,
                                   refine=refine, jacobi=jacobi, with_diag=True)
         return unravel(upd), diag
 
@@ -177,18 +181,22 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm,
         z = jnp.zeros(())
         return {"gnorm_van": z, "scale_van": z, "gnorm_flow": z, "scale_flow": z}
 
-    def update_fn(grads, state, fishers):
+    def update_fn(grads, state, fishers, max_norm_scale=1.0):
+        # ``max_norm_scale``: dynamic trust-region escalation factor (the
+        # tripwire shrinks it on persistent event bursts); traced, so changing
+        # it does not recompile the apply step.
         grad_van, grad_flow = grads
         classical_fisher, quantum_fisher, quantum_score_mean = fishers
         qsm = quantum_score_mean[0] + 1j * quantum_score_mean[1]
         # Center the quantum Fisher: subtract the mean-score outer product.
         quantum_fisher = quantum_fisher - (qsm.conj()[:, None] * qsm).real
 
+        scaled_norm = max_norm * max_norm_scale
         gv, unravel_van = ravel_pytree(grad_van)
         gf, unravel_flow = ravel_pytree(grad_flow)
-        upd_van, diag_van = _solve_scaled(classical_fisher, gv, damping, max_norm,
+        upd_van, diag_van = _solve_scaled(classical_fisher, gv, damping, scaled_norm,
                                           refine=refine, jacobi=jacobi, with_diag=True)
-        upd_flow, diag_flow = _solve_scaled(quantum_fisher, gf, damping, max_norm,
+        upd_flow, diag_flow = _solve_scaled(quantum_fisher, gf, damping, scaled_norm,
                                             refine=refine, jacobi=jacobi, with_diag=True)
         diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
                 "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}

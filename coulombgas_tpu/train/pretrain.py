@@ -130,14 +130,18 @@ def pretrain(
     params_van = replicate(params_van, mesh)  # multi-process-safe commit
 
     @jax.jit
-    def update(params_van, opt_state, key):
+    def update(params_van, opt_state, key, trust_scale):
+        # trust_scale: tripwire trust-region escalation, traced so the SR
+        # radius can shrink without recompiling (unused under adam)
         key, subkey = jax.random.split(key)
         state_indices = jax.lax.with_sharding_constraint(
             sampler(params_van, subkey, batch), batch_spec(mesh)
         )
         grads, aux = jax.grad(loss_fn, argnums=0, has_aux=True)(params_van, state_indices)
         if sr:
-            updates, new_opt_state = optimizer.update(grads, opt_state, params_van, state_indices)
+            updates, new_opt_state = optimizer.update(
+                grads, opt_state, params_van, state_indices,
+                max_norm_scale=trust_scale)
         else:
             updates, new_opt_state = optimizer.update(grads, opt_state)
         params_van = optax.apply_updates(params_van, updates)
@@ -168,7 +172,7 @@ def pretrain(
             return optax.apply_updates(params_van, unravel(uv))
 
     is_main = jax.process_index() == 0
-    log = ObservableLog(path) if is_main else None
+    log = ObservableLog(path, resume=epoch_finished > 0) if is_main else None
     sqrtb = float(np.sqrt(batch))
 
     # Same failure-detection/recovery as the interacting loop (train/tripwire.py):
@@ -199,9 +203,19 @@ def pretrain(
                 jax.device_get(fisher), jax.device_get(g), damping,
                 max_norm * tripwire.trust_scale,
             )
-            params_van = apply_upd(params_van, jnp.asarray(uv, dtype))
+            if jax.process_count() > 1:
+                # keep replicated params bitwise-identical across processes:
+                # independent LAPACK solves can differ on heterogeneous
+                # hosts, so broadcast process 0's update
+                from jax.experimental import multihost_utils
+
+                uv = np.asarray(multihost_utils.broadcast_one_to_all(
+                    np.asarray(uv, np.float64)))
+            params_van = apply_upd(params_van, replicate(jnp.asarray(uv, dtype), mesh))
         else:
-            params_van, opt_state, key, aux = update(params_van, opt_state, key)
+            params_van, opt_state, key, aux = update(
+                params_van, opt_state, key,
+                jnp.asarray(tripwire.trust_scale, dtype))
         a = jax.device_get(aux)
         F_raw, F_err = float(a["F_mean"]), float(a["F_std"]) / sqrtb
         finite = all(math.isfinite(float(a[k])) for k in

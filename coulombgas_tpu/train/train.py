@@ -182,7 +182,10 @@ def make_accumulate_and_apply(
         summed, _ = jax.lax.scan(chunk_step, zero, (si_c, x_c, keys))
         return add(acc, summed)
 
-    def apply_update(params_van, params_flow, opt_state, acc):
+    def apply_update(params_van, params_flow, opt_state, acc, trust_scale=1.0):
+        # ``trust_scale``: the tripwire's trust-region escalation factor,
+        # applied to the SR trust radius (max_norm); pass a jnp scalar so a
+        # changed value does not recompile.  Ignored under plain optax.
         norm = lambda t: jax.tree.map(lambda a: a / acc_steps, t)
         data = norm(acc["data"])
         grad_van, grad_flow = norm(acc["grads"])
@@ -200,7 +203,8 @@ def make_accumulate_and_apply(
                 norm(acc["quantum_fisher"]),
                 norm(acc["quantum_score_mean"]),
             )
-            updates, opt_state = sr_opt.update(grads, opt_state, fishers)
+            updates, opt_state = sr_opt.update(grads, opt_state, fishers,
+                                               max_norm_scale=trust_scale)
             # surface the trust-region diagnostics (opt_state == diag dict)
             data = dict(data, **{"diag_" + k: v for k, v in opt_state.items()})
         else:

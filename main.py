@@ -70,6 +70,10 @@ def parse_args(argv=None):
     parser.add_argument("--mc_microbatch", type=int, default=0,
                         help="batch-chunk size for the MCMC logp (bounds the "
                              "Jacobian fan-out HBM peak at large n; 0 = whole batch)")
+    parser.add_argument("--flow_jac", choices=["auto", "carried", "d2"], default="auto",
+                        help="flow Jacobian implementation: 'carried' layer-recursive "
+                             "dense state, 'd2' depth-2 closed form, 'auto' the "
+                             "measured-faster default (see PERF.md)")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -229,19 +233,15 @@ def main(argv=None):
     print("#parameters in the flow model: %d" % ravel_pytree(params_flow)[0].size)
 
     flow_apply = lambda p, x: cg.ferminet_apply(p, flow_cfg, x)
-    if args.depth == 2:
-        # structured closed form: no (n,n,dim,S) Jacobian state carried
-        # (models/ferminet_jac.py:ferminet_apply_and_jac_d2) — the state's
-        # HBM traffic is the n>=49 sampling-phase wall (PERF.md)
-        from coulombgas_tpu.models.ferminet_jac import (
-            ferminet_apply_and_jac_d2, ferminet_apply_jac_lap_d2,
-        )
+    # Jacobian implementation choice is a measured per-config question
+    # (PERF.md round-3 A/B: the depth-2 closed form loses end-to-end at the
+    # production shapes despite fewer FLOPs); 'auto' takes the faster default.
+    from coulombgas_tpu.models.ferminet_jac import select_flow_jac
 
-        flow_jac = lambda p, x: ferminet_apply_and_jac_d2(p, flow_cfg, x)
-        flow_jac_lap = lambda p, x: ferminet_apply_jac_lap_d2(p, flow_cfg, x)
-    else:
-        flow_jac = lambda p, x: cg.ferminet_apply_and_jac(p, flow_cfg, x)
-        flow_jac_lap = lambda p, x: cg.ferminet_apply_jac_lap(p, flow_cfg, x)
+    impl = args.flow_jac
+    if impl == "d2" and args.depth != 2:
+        raise ValueError("--flow_jac d2 requires --depth 2")
+    flow_jac, flow_jac_lap = select_flow_jac(flow_cfg, impl)
     logphi, logjacdet = cg.make_logphi_logjacdet(flow_apply, sp_indices_twist, L)
     if args.slow_logp:
         # escape hatch: generic-AD Jacobians + LU slogdets everywhere
@@ -425,6 +425,41 @@ def main(argv=None):
             pf = optax.apply_updates(params_flow, unravel_flow(uf))
             return pv, pf
 
+        def host64_apply_step(acc, trust_scale):
+            """Host-f64 solve, multi-process safe.
+
+            Every process pulls the (replicated) accumulators and could solve
+            locally, but independent LAPACK solves may differ bitwise across
+            heterogeneous hosts — so the solve runs everywhere and process 0's
+            result is broadcast, keeping the replicated parameters identical
+            on all processes.  The update vectors are committed back onto the
+            mesh with the replicated sharding (parallel.mesh.replicate handles
+            the multi-process make_array_from_callback path).
+            """
+            acc_host = jax.device_get(acc)
+            uv, uf, d, diag = host_hybrid_apply(
+                acc_host, args.acc_steps, args.damping,
+                args.max_norm * trust_scale,
+            )
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                dkeys, dgkeys = sorted(d), sorted(diag)
+                payload = np.concatenate([
+                    np.asarray(uv, np.float64), np.asarray(uf, np.float64),
+                    np.asarray([d[k] for k in dkeys], np.float64),
+                    np.asarray([diag[k] for k in dgkeys], np.float64),
+                ])
+                payload = np.asarray(
+                    multihost_utils.broadcast_one_to_all(payload))
+                i0, i1 = uv.size, uv.size + uf.size
+                uv, uf = payload[:i0], payload[i0:i1]
+                d = dict(zip(dkeys, payload[i1:i1 + len(dkeys)].tolist()))
+                diag = dict(zip(dgkeys, payload[i1 + len(dkeys):].tolist()))
+            uv_dev = replicate(jnp.asarray(uv, rdtype), mesh)
+            uf_dev = replicate(jnp.asarray(uf, rdtype), mesh)
+            return uv_dev, uf_dev, d, diag
+
     # ---- training loop ---------------------------------------------------------
     is_main = jax.process_index() == 0
     log = ObservableLog(path, resume=args.epoch_finished > 0) if is_main else None
@@ -457,18 +492,16 @@ def main(argv=None):
             accept_rate_acc = accept_rate_acc + accept_rate
             acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
         if use_host64:
-            acc_host = jax.device_get(acc)
-            uv, uf, d, diag = host_hybrid_apply(
-                acc_host, args.acc_steps, args.damping,
-                args.max_norm * tripwire.trust_scale,
-            )
+            uv_dev, uf_dev, d, diag = host64_apply_step(acc, tripwire.trust_scale)
             params_van, params_flow = apply_host_jit(
-                params_van, params_flow,
-                jnp.asarray(uv, rdtype), jnp.asarray(uf, rdtype),
+                params_van, params_flow, uv_dev, uf_dev,
             )
         else:
+            # trust_scale is a traced scalar: tripwire escalation applies to
+            # the on-device SR trust radius too, without recompiling.
             params_van, params_flow, opt_state, data = apply_jit(
-                params_van, params_flow, opt_state, acc
+                params_van, params_flow, opt_state, acc,
+                jnp.asarray(tripwire.trust_scale, rdtype),
             )
             d = {k: float(v) for k, v in data.items()}
             diag = {k[5:]: d.pop(k) for k in [k for k in d if k.startswith("diag_")]}
@@ -482,7 +515,8 @@ def main(argv=None):
             if math.isfinite(d["F_mean"]) and math.isfinite(d["F2_mean"]) else float("nan")
         finite = all(math.isfinite(v) for v in d.values())
         revert_to = tripwire.check(F_raw, F_sig, finite)
-        if revert_to is not None:
+        reverted = revert_to is not None
+        if reverted:
             params_van, params_flow, opt_state = revert_to
             msg = ("TRIPWIRE epoch %d: %s (F %.6f) — reverted to pre-jump "
                    "parameters" % (
@@ -491,15 +525,22 @@ def main(argv=None):
             print(msg)
             if diag_log is not None:
                 diag_log.write("# " + msg + "\n")
-            if tripwire.trust_scale < 1.0:
+            if args.sr and tripwire.trust_scale < 1.0:
+                # escalation applies to the SR trust radius in every solver
+                # path (host64 directly; plain/refined via the traced
+                # trust_scale argument of the jitted apply)
                 print("TRIPWIRE: trust radius scaled to %g"
                       % (args.max_norm * tripwire.trust_scale))
 
-        if diag_log is not None and diag:
+        if diag_log is not None and diag and not reverted:
             diag_log.write("%6d  %.6e  %.4f  %.6e  %.4f\n" % (
                 i, diag.get("gnorm_van", float("nan")), diag.get("scale_van", float("nan")),
                 diag.get("gnorm_flow", float("nan")), diag.get("scale_flow", float("nan"))))
-        if is_main:
+        if is_main and not reverted:
+            # a reverted epoch's observables describe the corrupted pre-revert
+            # parameters (possibly non-finite) — keep them out of data.txt so
+            # convergence-tail consumers see only healthy rows (the event
+            # itself is recorded in sr_diag.txt); matches pretrain's behavior
             log.write_train(
                 i,
                 d["F_mean"] / rs2, stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) / rs2,
@@ -526,6 +567,19 @@ def main(argv=None):
 
     if log is not None:
         log.close()
+
+    # Replica-consistency diagnostic: every process prints a checksum of its
+    # local view of the (replicated) parameters.  On a healthy multi-process
+    # run these lines are identical across processes — tests/test_multihost.py
+    # asserts this for the host64 solver path, whose host-side LAPACK solves
+    # are broadcast from process 0 precisely to keep replicas bitwise in sync.
+    pv_host, pf_host = to_host(params_van), to_host(params_flow)
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((pv_host, pf_host)):
+        h.update(np.asarray(leaf).tobytes())
+    print("final params checksum:", h.hexdigest())
 
 
 if __name__ == "__main__":

@@ -1,0 +1,49 @@
+"""A/B: carried-state vs depth-2 closed-form flow Jacobian, end-to-end.
+
+Round-2's flagship perf item (the d2 closure, commits d368a68/bc4b00d) cut
+XLA-counted FLOPs ~4x but BENCH_r02 regressed 15-25% at every config vs
+BENCH_r01 (VERDICT round 2, weak #1).  This script measures BOTH paths with
+the exact bench.py harness (full production training step, per-phase timing)
+at all three benched configs, so the default in select_flow_jac is a
+measurement, not a story.
+
+Usage:  python scripts/bench_flow_jac_ab.py [--iters 5]
+Prints one JSON line per (config, impl).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import bench  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of config names (default: all in bench.CONFIGS)")
+    args = ap.parse_args()
+
+    results = {}
+    for name, cfg in bench.CONFIGS:
+        if args.configs and name not in args.configs:
+            continue
+        for impl in ("carried", "d2"):
+            full = dict(cfg, flow_jac_impl=impl)
+            try:
+                dt, phases = bench.bench_config(full, iters=args.iters)
+                row = {"s_per_step": round(dt, 4), **phases}
+            except Exception as e:
+                row = {"error": str(e)[:200]}
+            results["%s/%s" % (name, impl)] = row
+            print(json.dumps({"config": name, "impl": impl, **row}), flush=True)
+
+    print(json.dumps({"metric": "flow_jac_ab", "detail": results}))
+
+
+if __name__ == "__main__":
+    main()

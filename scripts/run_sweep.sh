@@ -20,7 +20,9 @@ for rs in $RS_LIST; do
     dir=$(printf "data/interacting/n_29_dim_2_rs_%.1f_Theta_0.15_Emax_25_twist_0.250_0.250_nlayers_2_modelsize_16_nheads_4_nhidden_32_depth_2_spsize_16_tpsize_16_Gmax_15_kappa_10_mctherm_10_mcsteps_50_mcstddev_0.10_hutchinson_damping_0.00100_maxnorm_0.00100_batch_2048_ndevices_1_accsteps_4" "$rs")
     finished=0
     if [ -f "$dir/data.txt" ]; then
-        finished=$(tail -1 "$dir/data.txt" | awk '{print $1}')
+        # last row's epoch; guard against empty/garbled final lines (a killed
+        # run can leave a partial write) so the -ge test never aborts set -e
+        finished=$(awk 'NF>0 && $1+0==$1 {last=$1} END {print last+0}' "$dir/data.txt")
         if [ "$finished" -ge "$EPOCHS" ]; then
             echo "rs=$rs already complete ($finished epochs) — skipping"
             continue

@@ -64,6 +64,52 @@ def test_no_nan_in_convergence_tail(path):
     assert np.isfinite(tail).all(), "non-finite values in the convergence tail"
 
 
+@pytest.mark.parametrize("path", _logs(), ids=lambda p: os.path.relpath(p, DATA))
+def test_tail_not_stuck_and_physically_plausible(path):
+    """Finite-garbage guard (round-2 lesson: data/failed_r1/n49_scaled_...).
+
+    A diverged-then-flatlined run can pass the no-NaN test with bitwise
+    identical rows of absurd but finite values.  Reject committed tails with
+    (a) >= 3 consecutive bitwise-identical observable rows — Monte-Carlo
+    noise makes exact repeats of 6+ float columns impossible in a live run —
+    or (b) per-particle |F| or entropy outside a generous physical window
+    (the UEG configs here have |F|/n < ~3 Ry/rs^2 and S/n < ~1; the window is
+    10x that so only divergence-class garbage trips it).
+    """
+    import re
+
+    rows = np.loadtxt(path, ndmin=2)
+    if len(rows) < 4:
+        pytest.skip("too short for the stuck-row window")
+    tail = rows[len(rows) // 2:]
+
+    obs = tail[:, 1:]  # drop the epoch counter
+    same = np.all(obs[1:] == obs[:-1], axis=1)
+    run, longest = 0, 0
+    for s in same:
+        run = run + 1 if s else 0
+        longest = max(longest, run)
+    assert longest < 2, (
+        "%d consecutive bitwise-identical rows in the tail — flatlined run "
+        "(quarantine it under data/failed_r1/)" % (longest + 1)
+    )
+
+    m = re.search(r"n_(\d+)", os.path.basename(os.path.dirname(path)) + "/" + path)
+    n = float(m.group(1)) if m else 13.0
+    F_pp = np.abs(tail[:, 1]) / n
+    assert F_pp.max() < 30.0, (
+        "per-particle |F| up to %.1f — outside any physical window for these "
+        "configs; divergence-class artifact" % F_pp.max()
+    )
+    ncols = tail.shape[1]
+    S_col = 9 if ncols >= 12 else 5  # train vs pretrain log layout
+    S_pp = tail[:, S_col] / n
+    assert S_pp.max() < 10.0 and S_pp.min() > -1.0, (
+        "per-particle entropy in [%.2f, %.2f] — unphysical tail"
+        % (S_pp.min(), S_pp.max())
+    )
+
+
 def test_stage2_n29_tail_vs_reference():
     """The converged n=29 rs=10 interacting log must match the reference tail.
 
