@@ -143,7 +143,7 @@ def bench_config(cfg, iters=5, warmup=2):
         import optax
         from jax.flatten_util import ravel_pytree
 
-        from coulombgas_tpu.optim.host_sr import host_hybrid_apply
+        from coulombgas_tpu.optim.host_sr import host_hybrid_apply, sym_pack
 
         _, unravel_van = ravel_pytree(params_van)
         _, unravel_flow = ravel_pytree(params_flow)
@@ -153,6 +153,12 @@ def bench_config(cfg, iters=5, warmup=2):
                     optax.apply_updates(pf, unravel_flow(uf)))
 
         apply_host_jit = jax.jit(_apply_host)
+        # production path: ship the Fishers as packed upper triangles
+        pack_acc_jit = jax.jit(lambda a: dict(
+            a,
+            classical_fisher=sym_pack(a["classical_fisher"]),
+            quantum_fisher=sym_pack(a["quantum_fisher"]),
+        ))
         acc = _retry(
             accumulate_jit, params_van, params_flow, si, x2, k2,
             parts["init_acc"](),
@@ -162,7 +168,7 @@ def bench_config(cfg, iters=5, warmup=2):
         h_iters = 2
         for it in range(h_iters + 1):  # first iteration = compile warmup
             t0 = time.perf_counter()
-            acc_host = jax.device_get(acc)
+            acc_host = jax.device_get(pack_acc_jit(acc))
             t1 = time.perf_counter()
             uv, uf, _, _ = host_hybrid_apply(acc_host, 1, 1e-3, 1e-3)
             t2 = time.perf_counter()

@@ -22,7 +22,36 @@ from __future__ import annotations
 import numpy as np
 import scipy.linalg as sla
 
-__all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host"]
+__all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host",
+           "sym_pack", "sym_unpack"]
+
+
+def sym_pack(M):
+    """Device-side: upper triangle (incl. diagonal) of a (P, P) symmetric
+    matrix as a flat vector — halves the device->host transfer of the Fisher
+    matrices, the dominant host64 cost on a slow link (see module docstring).
+    Jit-traceable (pure jnp); inverted on host by :func:`sym_unpack`.
+    """
+    import jax.numpy as jnp
+
+    P = M.shape[-1]
+    iu = np.triu_indices(P)
+    flat = jnp.reshape(M, M.shape[:-2] + (P * P,))
+    return jnp.take(flat, jnp.asarray(iu[0] * P + iu[1]), axis=-1)
+
+
+def sym_unpack(v, dtype=np.float64):
+    """Host-side inverse of :func:`sym_pack`: rebuild the full symmetric
+    (P, P) matrix from its packed upper triangle."""
+    v = np.asarray(v, dtype)
+    m = v.shape[-1]
+    P = int(round((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0))
+    assert P * (P + 1) // 2 == m, "not a packed triangle length: %d" % m
+    M = np.zeros(v.shape[:-1] + (P, P), dtype)
+    iu = np.triu_indices(P)
+    M[..., iu[0], iu[1]] = v
+    M[..., iu[1], iu[0]] = v
+    return M
 
 
 def ravel_host(tree):
@@ -84,8 +113,14 @@ def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
     grad_van = grad_van - data["F_mean"] * score_van
     grad_flow = grad_flow - data["E_mean"] * score_flow
 
-    cf = np.asarray(acc_host["classical_fisher"], np.float64) / acc_steps
-    qf = np.asarray(acc_host["quantum_fisher"], np.float64) / acc_steps
+    cf = np.asarray(acc_host["classical_fisher"], np.float64)
+    qf = np.asarray(acc_host["quantum_fisher"], np.float64)
+    if cf.ndim == 1:  # packed upper triangle (sym_pack on device)
+        cf = sym_unpack(cf)
+    if qf.ndim == 1:
+        qf = sym_unpack(qf)
+    cf = cf / acc_steps
+    qf = qf / acc_steps
     qsm2 = np.asarray(acc_host["quantum_score_mean"], np.float64) / acc_steps
     qsm = qsm2[0] + 1j * qsm2[1]
     # Center the quantum Fisher: subtract the mean-score outer product.

@@ -150,7 +150,7 @@ def pretrain(
     if host64:
         from jax.flatten_util import ravel_pytree
 
-        from ..optim.host_sr import host_solve_scaled
+        from ..optim.host_sr import host_solve_scaled, sym_pack, sym_unpack
         from ..optim.sr import _ravel_batch
 
         _, unravel = ravel_pytree(jax.device_get(params_van))
@@ -165,7 +165,9 @@ def pretrain(
             score = _ravel_batch(score_fn(params_van, state_indices))
             fisher = score.T @ score / batch
             g, _ = ravel_pytree(grads)
-            return g, fisher, key, aux
+            # symmetric Fisher: pull only the packed upper triangle (halves
+            # the device->host transfer, the dominant host64 cost)
+            return g, sym_pack(fisher), key, aux
 
         @jax.jit
         def apply_upd(params_van, uv):
@@ -198,10 +200,10 @@ def pretrain(
     for i in range(epoch_finished + 1, epoch + 1):
         tripwire.snapshot((params_van, opt_state))
         if host64:
-            g, fisher, key, aux = grads_and_fisher(params_van, key)
+            g, fisher_packed, key, aux = grads_and_fisher(params_van, key)
             uv, _ = host_solve_scaled(
-                jax.device_get(fisher), jax.device_get(g), damping,
-                max_norm * tripwire.trust_scale,
+                sym_unpack(jax.device_get(fisher_packed)), jax.device_get(g),
+                damping, max_norm * tripwire.trust_scale,
             )
             if jax.process_count() > 1:
                 # keep replicated params bitwise-identical across processes:

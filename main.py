@@ -414,7 +414,7 @@ def main(argv=None):
     # ---- host64 apply path ---------------------------------------------------
     use_host64 = args.sr and args.sr_solver == "host64"
     if use_host64:
-        from coulombgas_tpu.optim.host_sr import host_hybrid_apply
+        from coulombgas_tpu.optim.host_sr import host_hybrid_apply, sym_pack
 
         _, unravel_van = ravel_pytree(to_host(params_van))
         _, unravel_flow = ravel_pytree(to_host(params_flow))
@@ -424,6 +424,17 @@ def main(argv=None):
             pv = optax.apply_updates(params_van, unravel_van(uv))
             pf = optax.apply_updates(params_flow, unravel_flow(uf))
             return pv, pf
+
+        @jax.jit
+        def pack_acc_jit(acc):
+            # Fishers are symmetric: ship only the packed upper triangles —
+            # the device->host pull is the host64 step's dominant cost on
+            # this link (optim/host_sr.py docstring), and it halves.
+            return dict(
+                acc,
+                classical_fisher=sym_pack(acc["classical_fisher"]),
+                quantum_fisher=sym_pack(acc["quantum_fisher"]),
+            )
 
         def host64_apply_step(acc, trust_scale):
             """Host-f64 solve, multi-process safe.
@@ -436,7 +447,7 @@ def main(argv=None):
             mesh with the replicated sharding (parallel.mesh.replicate handles
             the multi-process make_array_from_callback path).
             """
-            acc_host = jax.device_get(acc)
+            acc_host = jax.device_get(pack_acc_jit(acc))
             uv, uf, d, diag = host_hybrid_apply(
                 acc_host, args.acc_steps, args.damping,
                 args.max_norm * trust_scale,

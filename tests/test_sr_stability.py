@@ -125,6 +125,53 @@ def test_host_hybrid_apply_matches_device_apply():
     assert diag["scale_van"] > 0 and diag["scale_flow"] > 0
 
 
+def test_sym_pack_roundtrip_and_packed_apply():
+    """sym_pack/sym_unpack are a bitwise round-trip on symmetric matrices,
+    and host_hybrid_apply on a packed accumulator matches the dense one.
+
+    The production host64 path (main.py pack_acc_jit, pretrain
+    grads_and_fisher) ships the Fisher matrices as packed upper triangles to
+    halve the device->host transfer; this pins that the packing changes no
+    numerics at all."""
+    from coulombgas_tpu.optim.host_sr import sym_pack, sym_unpack
+
+    key = jax.random.PRNGKey(7)
+    S = jax.random.normal(key, (32, 9), jnp.float64)
+    # XLA's S.T @ S is not bitwise symmetric (ij and ji reductions may order
+    # differently, ~1 ulp apart) — symmetrize, as sym_unpack's output is by
+    # construction; the solver only ever reads the upper triangle.
+    M = np.asarray(S.T @ S / 32)
+    M = np.triu(M) + np.triu(M, 1).T
+    np.testing.assert_array_equal(sym_unpack(np.asarray(sym_pack(jnp.asarray(M)))), M)
+
+    Pv, Pf = 5, 4
+    ks = jax.random.split(key, 8)
+    Sc = jax.random.normal(ks[0], (32, Pv), jnp.float64)
+    Sq = jax.random.normal(ks[1], (32, Pf), jnp.float64)
+    data = {"F_mean": jnp.asarray(1.0), "E_mean": jnp.asarray(2.0)}
+    acc = {
+        "data": data,
+        "grads": ({"a": jax.random.normal(ks[2], (Pv,), jnp.float64)},
+                  {"b": jax.random.normal(ks[3], (Pf,), jnp.float64)}),
+        "classical_score": {"a": jax.random.normal(ks[4], (Pv,), jnp.float64)},
+        "quantum_score": {"b": jax.random.normal(ks[5], (Pf,), jnp.float64)},
+        "classical_fisher": Sc.T @ Sc / 32,
+        "quantum_fisher": Sq.T @ Sq / 32,
+        "quantum_score_mean": jnp.stack([Sq.mean(0), 0.1 * Sq.mean(0)]),
+    }
+    dense = jax.device_get(acc)
+    packed = jax.device_get(dict(
+        acc,
+        classical_fisher=sym_pack(acc["classical_fisher"]),
+        quantum_fisher=sym_pack(acc["quantum_fisher"]),
+    ))
+    uv_d, uf_d, _, diag_d = host_hybrid_apply(dense, 2, 1e-3, 1e-3)
+    uv_p, uf_p, _, diag_p = host_hybrid_apply(packed, 2, 1e-3, 1e-3)
+    np.testing.assert_array_equal(uv_p, uv_d)
+    np.testing.assert_array_equal(uf_p, uf_d)
+    assert diag_p == diag_d
+
+
 def test_ravel_host_matches_ravel_pytree():
     from jax.flatten_util import ravel_pytree
 
