@@ -149,6 +149,55 @@ def test_stage2_n29_tail_vs_reference():
     assert abs(tail[:, 11].mean() - 0.41492) <= 0.02, "accept rate off"
 
 
+# rs-sweep rows (VERDICT r2 #4): reference final-20% tail means recomputed
+# from /root/reference/data/n_29_dim_2_rs_{rs}_..._accsteps_4/data.txt (3000
+# epochs).  Per-particle F/E/K/V tolerances scale with the reference's own
+# per-epoch F_std (BASELINE.md: 0.026 at rs=1 vs 0.0015 at rs=10), since the
+# mutual MC error of two tail means grows with it.  Entropy converges slowest
+# and both logs still drift at epoch 3000 (the reference's own tail-mean S at
+# rs=1 is 3.7% below its final row), so S gets a relative band.
+SWEEP_MANIFEST = [
+    # (rs, F, E, K, V, S, accept, tol_pp, S_rel)
+    ("1.0", 4.408437, 10.234492, 61.352016, -51.117524, 9.710092, 0.52225, 6e-4, 0.06),
+    ("3.0", -11.230540, -10.698827, 7.137597, -17.836424, 7.975697, 0.492426, 2e-4, 0.06),
+    ("5.0", -8.400460, -8.244273, 2.732840, -10.977112, 6.507795, 0.466365, 2e-4, 0.06),
+]
+
+
+@pytest.mark.parametrize("rs,Fr,Er,Kr,Vr,Sr,accr,tol_pp,S_rel", SWEEP_MANIFEST,
+                         ids=["rs" + m[0] for m in SWEEP_MANIFEST])
+def test_stage2_n29_sweep_tail_vs_reference(rs, Fr, Er, Kr, Vr, Sr, accr,
+                                            tol_pp, S_rel):
+    """Each committed rs-sweep log must match the reference tail (final 20%).
+
+    Skips while a sweep row has not been run yet (scripts/run_sweep.sh);
+    once the artifact is committed this test guards it permanently, exactly
+    like the rs=10 flagship above.
+    """
+    path = os.path.join(
+        DATA, "interacting",
+        "n_29_dim_2_rs_%s_Theta_0.15_Emax_25_twist_0.250_0.250_nlayers_2_"
+        "modelsize_16_nheads_4_nhidden_32_depth_2_spsize_16_tpsize_16_Gmax_15_"
+        "kappa_10_mctherm_10_mcsteps_50_mcstddev_0.10_hutchinson_"
+        "damping_0.00100_maxnorm_0.00100_batch_2048_ndevices_1_accsteps_4" % rs,
+        "data.txt")
+    if not os.path.isfile(path):
+        pytest.skip("sweep row rs=%s not run yet" % rs)
+    rows = np.loadtxt(path, ndmin=2)
+    if len(rows) < 2400:
+        pytest.skip("sweep row rs=%s still in progress (%d epochs)" % (rs, len(rows)))
+    tail = rows[-len(rows) // 5:]
+    n = 29.0
+    for col, ref, name in [(1, Fr, "F"), (3, Er, "E"), (5, Kr, "K"), (7, Vr, "V")]:
+        diff_pp = abs(tail[:, col].mean() - ref) / n
+        assert diff_pp <= tol_pp, (
+            "sweep rs=%s %s tail mean %.6f vs reference %.6f -> %.1e/particle"
+            % (rs, name, tail[:, col].mean(), ref, diff_pp)
+        )
+    assert abs(tail[:, 9].mean() - Sr) <= S_rel * abs(Sr), "entropy off"
+    assert abs(tail[:, 11].mean() - accr) <= 0.02, "accept rate off"
+
+
 @pytest.mark.parametrize("rel,n,exact,tol", PARITY_MANIFEST,
                          ids=[m[0].split("/")[0] + "_n%d" % m[1] for m in PARITY_MANIFEST])
 def test_stage1_parity_tail_vs_oracle(rel, n, exact, tol):
