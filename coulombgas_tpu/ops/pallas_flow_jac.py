@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.ferminet import FermiNetConfig
 
 __all__ = ["flow_u_jac_pallas", "flow_u_jac_pallas_large",
-           "flow_jac_lanes", "MAX_FLOW_N", "MAX_FLOW_N_LARGE"]
+           "flow_u_jac_pallas_d2", "flow_jac_lanes",
+           "MAX_FLOW_N", "MAX_FLOW_N_LARGE", "MAX_FLOW_N_D2"]
 
 # Mosaic requires lane blocks of exactly 128, and the per-block VMEM
 # footprint scales as n^2 * S * LANES (three live (n, n, dim, S, 128) tiles
@@ -481,3 +482,261 @@ def flow_u_jac_pallas_large(params, cfg: FermiNetConfig, x,
 
 
 MAX_FLOW_N_LARGE = 57
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 structured-closure kernel: the large-n path without the state.
+#
+# Both large-n attempts above move Jacobian STATE through HBM every sweep —
+# the carried (n, n, dim, S, B) tensor is ~2.5 GB at n=49/batch 8192 and its
+# several per-layer passes are the measured sampling wall (PERF.md), whether
+# XLA or the row-chunked kernels move it.  The depth-2 algebraic closure
+# (models/ferminet_jac.py:ferminet_apply_and_jac_d2) has NO carried state:
+#
+#     J_il = delta_il (D_i M_i - SumA1_i N_i)      [diagonal blocks]
+#          + A0_il K_i + A1_il N_i                 [pair contractions]
+#          + G_l R_i                               [rank-S mean term]
+#
+# and every pair tensor on the right is a cheap elementwise function of the
+# layer-0 features, so ONE kernel evaluates the whole thing per 128-walker
+# lane block with feature-chunked streaming: the (n, n, dim, S)-sized
+# transients (A0 W, A1) are built 8 feature columns at a time, reduced or
+# folded into the (n, n, dim, dim) Jacobian accumulator, and never reach
+# HBM.  Per sweep the only HBM traffic is x in, (u, J) out.  As jnp, the
+# same closure LOST to the carried path (PERF.md round-2 negative result:
+# XLA lays the small pair contractions out badly); the batch-in-lanes layout
+# is exactly what removes that problem, the same way flow_u_jac_pallas did
+# for the carried form at n <= 32.
+#
+# Exactly equal (to roundoff) to ferminet_apply_and_jac_d2; differentially
+# tested in tests/test_flow_jac_pallas.py.  Depth-2 flows only (the
+# reference's only production configuration, /root/reference/run/submit.py).
+# ---------------------------------------------------------------------------
+
+
+def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
+               w30T_ref, w30_ref, b0_ref, wtT_ref, bt_ref,
+               w1fT_ref, W1_ref, W2_ref, W3_ref, b1f_ref,
+               wfT_ref, wfE_ref, bf_ref,
+               u_ref, j_ref, *, n, dim, L, lanes, S, C1, schunk, cchunk):
+    dtype = x_ref.dtype
+    eye4 = eye4_ref[:]          # (n, n, 1, 1)
+    off4 = 1.0 - eye4
+    eye5 = eye5_ref[:]          # (n, n, 1, 1, 1)
+    off5 = 1.0 - eye5
+    eyed5 = eyed5_ref[:]        # (1, 1, dim, dim, 1)
+    w30T = w30T_ref[:]          # (S, C0)   rows=out s, cols=in c
+    w30 = w30_ref[:]            # (C0, S)   rows=out c, cols=in s
+    b0 = b0_ref[:]              # (S, 1)
+    wtT = wtT_ref[:]            # (C1, C0)
+    bt = bt_ref[:]              # (C1, 1)
+    w1fT = w1fT_ref[:]          # (S', 2S + C1)
+    W1 = W1_ref[:]              # (S, S')
+    W2 = W2_ref[:]              # (S, S')
+    W3 = W3_ref[:]              # (C1, S')
+    b1f = b1f_ref[:]            # (S', 1)
+    wfT = wfT_ref[:]            # (dim, S')
+    wfE = wfE_ref[:]            # (S', dim)
+    bf = bf_ref[:]              # (dim, 1)
+
+    # ---- layer-0 pair features and their x_i-derivatives (B = -A) --------
+    x = x_ref[:]                                    # (n, dim, LANES)
+    rij = x[:, None] - x[None, :]                   # (n, n, dim, LANES)
+    k2, k1 = 2 * jnp.pi / L, jnp.pi / L
+    c2, s2 = jnp.cos(k2 * rij), jnp.sin(k2 * rij)
+    s1 = jnp.sin(k1 * rij)
+    dij = jnp.sqrt(((s1 + eye4) ** 2).sum(axis=2, keepdims=True)) * off4
+    tp_blocks = [c2, s2, dij]                       # C0 = 2*dim + 1 features
+
+    safe_d = jnp.where(dij > 0, dij, 1.0)
+    g_cos = -k2 * s2[:, :, None, :, :] * eyed5
+    g_sin = k2 * c2[:, :, None, :, :] * eyed5
+    v5 = (k1 * s1 * jnp.cos(k1 * rij) / safe_d)[:, :, None, :, :]
+    g_d = (v5 * eyed5).sum(axis=3, keepdims=True)
+    A_blocks = [g_cos * off5, g_sin * off5, g_d * off5]  # (n, n, dim, c_k, L)
+
+    # ---- layer 0 (sp stream enters as zeros: only the tp-mean rows) ------
+    tpm = [b.mean(axis=1) for b in tp_blocks]       # (n, c_k, LANES)
+    pre0 = _contract_blocks(tpm, w30T) + b0         # (n, S, LANES)
+    sig0 = jax.lax.logistic(pre0)
+    sp1 = _softplus(pre0)
+
+    # D_i = (1/n) sig0_i * (SumA0_i W3_0): diagonal part of the layer-0 Jsp
+    sumA0 = [a.sum(axis=1) for a in A_blocks]       # (n, dim, c_k, LANES)
+    D = sig0[:, None, :, :] * _contract_blocks(sumA0, w30T) / n  # (n,dim,S,L)
+
+    # G_l = D_l + SP_l,  SP_l = -(1/n) sum_k sig0_k * (A0_{kl} W3_0):
+    # streamed over s-chunks so the (n, n, dim, S, L) transient never exists.
+    G_chunks = []
+    for s0 in range(0, S, schunk):
+        sc = min(schunk, S - s0)
+        AW0_c = _contract_blocks(A_blocks, w30T[s0 : s0 + sc])  # (n,n,dim,sc,L)
+        SP_c = -(sig0[:, None, None, s0 : s0 + sc, :] * AW0_c).sum(axis=0) / n
+        G_chunks.append(D[:, :, s0 : s0 + sc, :] + SP_c)        # (n,dim,sc,L)
+
+    # ---- tp layer pass 1: only the row means of tp1 (for the sp features) -
+    tp1m = []
+    for c0 in range(0, C1, cchunk):
+        cc = min(cchunk, C1 - c0)
+        pre_c = _contract_blocks(tp_blocks, wtT[c0 : c0 + cc]) + bt[c0 : c0 + cc]
+        tp1m.append(_softplus(pre_c).mean(axis=1))  # (n, cc, LANES)
+
+    # ---- final sp layer ---------------------------------------------------
+    sp1mean = jnp.broadcast_to(sp1.mean(axis=0, keepdims=True), sp1.shape)
+    pre1 = _contract(sp1, w1fT, 0) + _contract(sp1mean, w1fT, S) + b1f
+    off = 2 * S
+    for t in tp1m:
+        pre1 = pre1 + _contract(t, w1fT, off)
+        off += t.shape[-2]
+    sig1 = jax.lax.logistic(pre1)                   # (n, S', LANES)
+    spf = sp1 + _softplus(pre1)
+
+    u_ref[:] = x + _contract(spf, wfT) + bf
+
+    # ---- per-row contraction matrices, per output coordinate b -----------
+    # M_b = wf[:, b] + W1 diag(sig1_i) wf[:, b];  K_b = -(1/n) w3_0 (sig0*M_b);
+    # N_b = -(1/n) W3 (sig1*wf[:, b]);            R_b = (1/n) W2 (sig1*wf[:, b]).
+    Ms, Ks, Ns, Rs = [], [], [], []
+    for b in range(dim):
+        Q_b = sig1 * wfE[None, :, b : b + 1]        # (n, S', LANES)
+        M_b = wfE[None, :, b : b + 1] + _contract(Q_b, W1)
+        Ms.append(M_b)
+        Ks.append(-_contract(sig0 * M_b, w30) / n)  # (n, C0, LANES)
+        Ns.append(-_contract(Q_b, W3) / n)          # (n, C1, LANES)
+        Rs.append(_contract(Q_b, W2) / n)           # (n, S, LANES)
+
+    # ---- Jacobian assembly: J5[i, l, d, b] (identity added by the wrapper).
+    # Every contraction is chunk-level: multiply on FULL-sublane tiles, then
+    # reduce the feature axis in-register (sum over the sublane axis) — no
+    # per-column 1-sublane products.
+    Jb = [jnp.zeros((n, n, dim, 1, lanes), dtype) for _ in range(dim)]
+    diag = [jnp.zeros((n, dim, 1, lanes), dtype) for _ in range(dim)]
+
+    # pair term A0_{ildc} K_{icb} over the three layer-0 feature blocks
+    for b in range(dim):
+        coff = 0
+        for blk in A_blocks:
+            ck = blk.shape[-2]
+            k_ch = Ks[b][:, None, None, coff : coff + ck, :]  # (n,1,1,ck,L)
+            Jb[b] = Jb[b] + (blk * k_ch).sum(axis=-2, keepdims=True)
+            coff += ck
+
+    # mean term G_{lds} R_{isb} and diagonal D_{ids} M_{isb}, s-chunked
+    for ci, g_c in enumerate(G_chunks):
+        s0, sc = ci * schunk, g_c.shape[-2]
+        g_ch = g_c[None]                              # (1, n, dim, sc, LANES)
+        d_ch = D[:, :, s0 : s0 + sc, :]               # (n, dim, sc, LANES)
+        for b in range(dim):
+            r_ch = Rs[b][:, None, None, s0 : s0 + sc, :]
+            Jb[b] = Jb[b] + (g_ch * r_ch).sum(axis=-2, keepdims=True)
+            m_ch = Ms[b][:, None, s0 : s0 + sc, :]
+            diag[b] = diag[b] + (d_ch * m_ch).sum(axis=-2, keepdims=True)
+
+    # tp layer pass 2: A1_{ildc} N_{icb} pair term and the SumA1 diagonal,
+    # streamed over c1-chunks (pre_tp recomputed — cheaper than storing tp1)
+    for c0 in range(0, C1, cchunk):
+        cc = min(cchunk, C1 - c0)
+        pre_c = _contract_blocks(tp_blocks, wtT[c0 : c0 + cc]) + bt[c0 : c0 + cc]
+        sig_c = jax.lax.logistic(pre_c)             # (n, n, cc, LANES)
+        AWt_c = _contract_blocks(A_blocks, wtT[c0 : c0 + cc])
+        A1_c = sig_c[:, :, None, :, :] * AWt_c      # (n, n, dim, cc, LANES)
+        sumA1_c = A1_c.sum(axis=1)                  # (n, dim, cc, LANES)
+        for b in range(dim):
+            n_ch = Ns[b][:, None, None, c0 : c0 + cc, :]
+            Jb[b] = Jb[b] + (A1_c * n_ch).sum(axis=-2, keepdims=True)
+            diag[b] = diag[b] - (
+                sumA1_c * Ns[b][:, None, c0 : c0 + cc, :]
+            ).sum(axis=-2, keepdims=True)
+
+    # tile-aligned store: scatter the per-b accumulators into the output's
+    # b sublane via one-hot masks (no sub-tile stores).  eyed5 is the
+    # (1, 1, dim, dim, 1) coordinate identity, so eyed5[:, :, b:b+1] is the
+    # one-hot row delta_{qb} in shape (1, 1, 1, dim, 1).
+    out = None
+    for b in range(dim):
+        contrib = Jb[b] + eye5 * diag[b][:, None]   # (n, n, dim, 1, LANES)
+        term = contrib * eyed5[:, :, b : b + 1]
+        out = term if out is None else out + term
+    j_ref[:] = out
+
+
+# VMEM peak is dominated by the layer-0 pair blocks plus ONE streamed
+# (n, n, dim, cchunk, LANES) transient: ~62 MB at n=57 with cchunk=8.
+MAX_FLOW_N_D2 = 57
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False):
+    """Single-kernel depth-2 flow fwd+jac for n <= MAX_FLOW_N_D2.
+
+    Same contract as ``flow_u_jac_pallas``: x (B, n, dim) -> u (n, dim, B),
+    J (nd, nd, B) batch-last for the fused log-det tail.  Depth-2 only.
+    """
+    B, n, dim = x.shape
+    nd = n * dim
+    assert cfg.depth == 2, "structured d2 kernel requires depth-2 flows"
+    lanes = flow_jac_lanes(n)
+    nblocks = pl.cdiv(B, lanes)
+    padded = nblocks * lanes
+    S, C1 = cfg.spsize, cfg.tpsize
+
+    xt = jnp.moveaxis(x, 0, -1)
+    if padded != B:
+        xt = jnp.concatenate(
+            [xt, jnp.broadcast_to(xt[:, :, :1], (n, dim, padded - B))], axis=-1
+        )
+
+    w0 = params["sp"][0]["w"]
+    w1f = params["sp"][1]["w"]
+    wt = params["tp"][0]["w"]
+    wf = params["final"]["w"]
+    ops = [
+        np.eye(n, dtype=np.float32)[:, :, None, None],
+        np.eye(n, dtype=np.float32)[:, :, None, None, None],
+        np.eye(dim, dtype=np.float32)[None, None, :, :, None],
+        w0[2 * dim:].T,                 # w30T (S, C0)
+        w0[2 * dim:],                   # w30  (C0, S)
+        params["sp"][0]["b"][:, None],
+        wt.T,                           # wtT (C1, C0)
+        params["tp"][0]["b"][:, None],
+        w1f.T,                          # w1fT (S', 2S + C1)
+        w1f[:S],                        # W1 (S, S')
+        w1f[S : 2 * S],                 # W2 (S, S')
+        w1f[2 * S:],                    # W3 (C1, S')
+        params["sp"][1]["b"][:, None],
+        wf.T,                           # wfT (dim, S')
+        wf,                             # wfE (S', dim)
+        params["final"]["b"][:, None],
+    ]
+
+    full = lambda a: pl.BlockSpec(jnp.shape(a), lambda i: (0,) * jnp.ndim(a),
+                                  memory_space=pltpu.VMEM)
+    u, J5 = pl.pallas_call(
+        functools.partial(
+            _d2_kernel, n=n, dim=dim, L=float(cfg.L), lanes=lanes,
+            S=S, C1=C1, schunk=8, cchunk=8,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, dim, padded), x.dtype),
+            jax.ShapeDtypeStruct((n, n, dim, dim, padded), x.dtype),
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [full(a) for a in ops],
+        out_specs=(
+            pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, dim, dim, lanes), lambda i: (0, 0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xt, *ops)
+
+    J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)
+    J = J + jnp.eye(nd, dtype=x.dtype)[:, :, None]
+    return u[:, :, :B], J[:, :, :B]

@@ -45,6 +45,7 @@ def make_logp_fast(
     fused_interpret: bool = False,
     pallas_flow_cfg=None,
     use_large_flow: bool = False,
+    use_d2_flow: bool = False,
 ):
     """Batched logp(x, params, state_indices) -> (batch,) = 2 Re log Psi.
 
@@ -93,8 +94,9 @@ def make_logp_fast(
             # kernel; larger n uses the row-chunked per-layer kernels
             # (depth-2 flows).
             from ..ops.pallas_flow_jac import (
-                MAX_FLOW_N, MAX_FLOW_N_LARGE,
-                flow_u_jac_pallas, flow_u_jac_pallas_large,
+                MAX_FLOW_N, MAX_FLOW_N_D2, MAX_FLOW_N_LARGE,
+                flow_u_jac_pallas, flow_u_jac_pallas_d2,
+                flow_u_jac_pallas_large,
             )
             from ..ops.pallas_fused_logp import fused_logp_pallas
 
@@ -107,6 +109,11 @@ def make_logp_fast(
             # for either path), so this stays opt-in via ``use_large_flow``.
             if use_large_flow and n <= MAX_FLOW_N_LARGE and pallas_flow_cfg.depth == 2:
                 flow_kernel = flow_u_jac_pallas_large
+            # depth-2 structured-closure kernel: no carried Jacobian state at
+            # all (the wall both paths above pay at n >= 49); explicit opt-in
+            # until the chip A/B (scripts/bench_flow_jac_ab.py) flips it.
+            if use_d2_flow and n <= MAX_FLOW_N_D2 and pallas_flow_cfg.depth == 2:
+                flow_kernel = flow_u_jac_pallas_d2
             if flow_kernel is not None:
                 u_t, J_t = flow_kernel(
                     params, pallas_flow_cfg, x, interpret=fused_interpret

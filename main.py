@@ -74,6 +74,10 @@ def parse_args(argv=None):
                         help="flow Jacobian implementation: 'carried' layer-recursive "
                              "dense state, 'd2' depth-2 closed form, 'auto' the "
                              "measured-faster default (see PERF.md)")
+    parser.add_argument("--mc_d2_kernel", action="store_true",
+                        help="use the single-kernel depth-2 structured-closure "
+                             "Pallas flow fwd+jac in the MCMC logp (any n <= 57; "
+                             "opt-in until the chip A/B flips the default)")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -261,6 +265,7 @@ def main(argv=None):
             chunk=args.mc_microbatch or None,
             jacobian=flow_jac,
             pallas_flow_cfg=flow_cfg,  # batch-in-lanes flow kernel (n <= 32)
+            use_d2_flow=args.mc_d2_kernel,
         )
 
     # ---- Ewald -------------------------------------------------------------

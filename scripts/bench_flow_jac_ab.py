@@ -32,8 +32,15 @@ def main():
     for name, cfg in bench.CONFIGS:
         if args.configs and name not in args.configs:
             continue
-        for impl in ("carried", "d2"):
-            full = dict(cfg, flow_jac_impl=impl)
+        # 'd2k' = carried jnp path for the AD phases + the single-kernel
+        # depth-2 structured-closure Pallas flow fwd+jac in the MCMC logp
+        # (ops/pallas_flow_jac.py:flow_u_jac_pallas_d2) — the round-3
+        # candidate for the n >= 49 sampling wall.
+        for impl in ("carried", "d2", "d2k"):
+            if impl == "d2k":
+                full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
+            else:
+                full = dict(cfg, flow_jac_impl=impl)
             try:
                 dt, phases = bench.bench_config(full, iters=args.iters)
                 row = {"s_per_step": round(dt, 4), **phases}

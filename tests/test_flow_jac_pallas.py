@@ -72,3 +72,42 @@ def test_flow_jac_large_path_matches_jnp(dim, n):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(J_t), -1, 0), np.asarray(J_ref), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("dim,n", [(2, 7), (3, 5), (2, 13)])
+def test_flow_jac_d2_kernel_matches_jnp(dim, n):
+    """Single-kernel depth-2 structured closure vs the carried jnp Jacobian."""
+    from coulombgas_tpu.ops.pallas_flow_jac import flow_u_jac_pallas_d2
+
+    L = 3.21
+    key = jax.random.PRNGKey(dim + n)
+    cfg = cg.FermiNetConfig(2, 16, 16, L)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float32)
+    B = 9  # exercises lane padding too
+    x = jax.random.uniform(key, (B, n, dim), jnp.float32, 0.0, L)
+    u_t, J_t = flow_u_jac_pallas_d2(params, cfg, x, interpret=True)
+    u_ref, J_ref = jax.vmap(lambda q: cg.ferminet_apply_and_jac(params, cfg, q))(x)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(u_t), -1, 0), np.asarray(u_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(J_t), -1, 0), np.asarray(J_ref), atol=1e-5
+    )
+
+
+def test_d2_kernel_logp_end_to_end():
+    """make_logp_fast with use_d2_flow: d2 kernel + fused tail == slogdet path."""
+    flow_apply, params, sp_twist, L, x, si = _setup(
+        n=7, dim=2, Emax=9, batch=12, dtype=jnp.float32
+    )
+    cfg = cg.FermiNetConfig(2, 8, 8, L)
+    jac = lambda p, q: cg.ferminet_apply_and_jac(p, cfg, q)
+    unfused = make_logp_fast(flow_apply, sp_twist, L, use_pallas=False,
+                             jacobian=jac, use_fused=False)
+    d2k = make_logp_fast(flow_apply, sp_twist, L, jacobian=jac,
+                         pallas_flow_cfg=cfg, fused_interpret=True,
+                         use_d2_flow=True)
+    np.testing.assert_allclose(
+        np.asarray(d2k(x, params, si)), np.asarray(unfused(x, params, si)),
+        rtol=0, atol=5e-3,
+    )
