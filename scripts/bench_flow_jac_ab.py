@@ -36,9 +36,17 @@ def main():
         # depth-2 structured-closure Pallas flow fwd+jac in the MCMC logp
         # (ops/pallas_flow_jac.py:flow_u_jac_pallas_d2) — the round-3
         # candidate for the n >= 49 sampling wall.
-        for impl in ("carried", "d2", "d2k"):
+        impls = ["carried", "d2", "d2k"]
+        if cfg.get("mc_microbatch"):
+            # the MCMC batch chunking only bounds the XLA fallback's Jacobian
+            # fan-out; the d2 kernel streams in VMEM and needs no chunking
+            impls.append("d2k_nochunk")
+        for impl in impls:
             if impl == "d2k":
                 full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
+            elif impl == "d2k_nochunk":
+                full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
+                full.pop("mc_microbatch", None)
             else:
                 full = dict(cfg, flow_jac_impl=impl)
             try:
