@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.ferminet import FermiNetConfig
 
 __all__ = ["flow_u_jac_pallas", "flow_u_jac_pallas_large",
-           "flow_u_jac_pallas_d2", "flow_jac_lanes",
+           "flow_u_jac_pallas_d2", "flow_u_jac_lap_pallas_d2",
+           "flow_jac_lanes",
            "MAX_FLOW_N", "MAX_FLOW_N_LARGE", "MAX_FLOW_N_D2"]
 
 # Mosaic requires lane blocks of exactly 128, and the per-block VMEM
@@ -517,8 +518,11 @@ MAX_FLOW_N_LARGE = 57
 def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
                w30T_ref, w30_ref, b0_ref, wtT_ref, bt_ref,
                w1fT_ref, W1_ref, W2_ref, W3_ref, b1f_ref,
-               wfT_ref, wfE_ref, bf_ref,
-               u_ref, j_ref, *, n, dim, L, lanes, S, C1, schunk, cchunk):
+               wfT_ref, wfE_ref, bf_ref, W1t_ref, W2t_ref, W3t_ref,
+               *out_refs, n, dim, L, lanes, S, C1, schunk, cchunk, lchunk,
+               emit_lap):
+    u_ref, j_ref = out_refs[0], out_refs[1]
+    lap_ref = out_refs[2] if emit_lap else None
     dtype = x_ref.dtype
     eye4 = eye4_ref[:]          # (n, n, 1, 1)
     off4 = 1.0 - eye4
@@ -538,6 +542,10 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
     wfT = wfT_ref[:]            # (dim, S')
     wfE = wfE_ref[:]            # (S', dim)
     bf = bf_ref[:]              # (dim, 1)
+    if emit_lap:
+        W1t = W1t_ref[:]        # (S', S)  — lap path only
+        W2t = W2t_ref[:]        # (S', S)
+        W3t = W3t_ref[:]        # (S', C1)
 
     # ---- layer-0 pair features and their x_i-derivatives (B = -A) --------
     x = x_ref[:]                                    # (n, dim, LANES)
@@ -549,11 +557,26 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
     tp_blocks = [c2, s2, dij]                       # C0 = 2*dim + 1 features
 
     safe_d = jnp.where(dij > 0, dij, 1.0)
+    c1 = jnp.cos(k1 * rij)
     g_cos = -k2 * s2[:, :, None, :, :] * eyed5
     g_sin = k2 * c2[:, :, None, :, :] * eyed5
-    v5 = (k1 * s1 * jnp.cos(k1 * rij) / safe_d)[:, :, None, :, :]
+    v5 = (k1 * s1 * c1 / safe_d)[:, :, None, :, :]
     g_d = (v5 * eyed5).sum(axis=3, keepdims=True)
     A_blocks = [g_cos * off5, g_sin * off5, g_d * off5]  # (n, n, dim, c_k, L)
+
+    Lt_blocks = None
+    if emit_lap:
+        # Ltp0 = 2 * sum_a d^2 tp0 / d r_a^2 (models/ferminet_jac.py
+        # _pair_feature_lap), as feature blocks matching tp_blocks.
+        sp_ = k1 * c1                                   # d|s1|-chain pieces
+        spp = -(k1 * k1) * s1
+        h_d = ((sp_**2 + s1 * spp) / safe_d
+               - (s1 * sp_) ** 2 / safe_d**3).sum(axis=2, keepdims=True)
+        Lt_blocks = [
+            2.0 * (-(k2 * k2) * c2) * off4,
+            2.0 * (-(k2 * k2) * s2) * off4,
+            2.0 * h_d * off4,
+        ]
 
     # ---- layer 0 (sp stream enters as zeros: only the tp-mean rows) ------
     tpm = [b.mean(axis=1) for b in tp_blocks]       # (n, c_k, LANES)
@@ -563,16 +586,37 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
 
     # D_i = (1/n) sig0_i * (SumA0_i W3_0): diagonal part of the layer-0 Jsp
     sumA0 = [a.sum(axis=1) for a in A_blocks]       # (n, dim, c_k, LANES)
-    D = sig0[:, None, :, :] * _contract_blocks(sumA0, w30T) / n  # (n,dim,S,L)
+    sumAW0 = _contract_blocks(sumA0, w30T)          # (n, dim, S, LANES)
+    D = sig0[:, None, :, :] * sumAW0 / n            # (n, dim, S, LANES)
+    sumsq0 = (sumAW0**2).sum(axis=1) if emit_lap else None  # (n, S, LANES)
 
     # G_l = D_l + SP_l,  SP_l = -(1/n) sum_k sig0_k * (A0_{kl} W3_0):
     # streamed over s-chunks so the (n, n, dim, S, L) transient never exists.
-    G_chunks = []
+    G_chunks, sq0_chunks = [], []
     for s0 in range(0, S, schunk):
         sc = min(schunk, S - s0)
         AW0_c = _contract_blocks(A_blocks, w30T[s0 : s0 + sc])  # (n,n,dim,sc,L)
         SP_c = -(sig0[:, None, None, s0 : s0 + sc, :] * AW0_c).sum(axis=0) / n
         G_chunks.append(D[:, :, s0 : s0 + sc, :] + SP_c)        # (n,dim,sc,L)
+        if emit_lap:
+            # sq0 = [(sum_l AW0_il)^2 + sum_l AW0_il^2]_d-summed / n^2
+            sq0_chunks.append(
+                (sumsq0[:, s0 : s0 + sc, :] + (AW0_c**2).sum(axis=(1, 2)))
+                / (n * n)
+            )
+
+    Lsp1_chunks = None
+    if emit_lap:
+        # Lsp1 = sig0 * (mean_j Ltp0 @ W3_0) + sig0 (1 - sig0) sq0
+        Lpre0 = _contract_blocks([b.mean(axis=1) for b in Lt_blocks], w30T)
+        Lsp1_chunks = []
+        for ci, sq0_c in enumerate(sq0_chunks):
+            s0 = ci * schunk
+            sc = sq0_c.shape[-2]
+            sg = sig0[:, s0 : s0 + sc, :]
+            Lsp1_chunks.append(
+                sg * Lpre0[:, s0 : s0 + sc, :] + sg * (1.0 - sg) * sq0_c
+            )
 
     # ---- tp layer pass 1: only the row means of tp1 (for the sp features) -
     tp1m = []
@@ -592,6 +636,24 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
     spf = sp1 + _softplus(pre1)
 
     u_ref[:] = x + _contract(spf, wfT) + bf
+
+    Lpre1 = T = V = None
+    if emit_lap:
+        # Lf1 @ w1f accumulated blockwise: [Lsp1, mean_i Lsp1, mean_j Ltp1];
+        # the Ltp1 rows land inside the pass-2 c-chunk loop below.
+        Lpre1 = jnp.zeros((n, S, lanes), dtype)
+        for ci, Ls_c in enumerate(Lsp1_chunks):
+            s0 = ci * schunk
+            Lpre1 = Lpre1 + _contract(Ls_c, w1fT, s0)
+            Lm = jnp.broadcast_to(Ls_c.mean(axis=0, keepdims=True), Ls_c.shape)
+            Lpre1 = Lpre1 + _contract(Lm, w1fT, S + s0)
+        # structured blocks of JfW1 = delta_il T_i + U_il + V_l
+        # (models/ferminet_jac.py ferminet_apply_jac_lap_d2 docstring):
+        # T = D @ W1 + (SumA1 @ W3)/n — the c-chunk part accumulates below.
+        T = _contract(D, W1t)                       # (n, dim, S', LANES)
+        for ci, g_c in enumerate(G_chunks):         # V = (G @ W2)/n
+            part = _contract(g_c, W2t, ci * schunk) / n
+            V = part if V is None else V + part
 
     # ---- per-row contraction matrices, per output coordinate b -----------
     # M_b = wf[:, b] + W1 diag(sig1_i) wf[:, b];  K_b = -(1/n) w3_0 (sig0*M_b);
@@ -647,6 +709,15 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
             diag[b] = diag[b] - (
                 sumA1_c * Ns[b][:, None, c0 : c0 + cc, :]
             ).sum(axis=-2, keepdims=True)
+        if emit_lap:
+            T = T + _contract(sumA1_c, W3t, c0) / n
+            # Ltp1 = sigt (Ltp0 @ wt) + sigt (1 - sigt) 2 sum_d (AWt)^2;
+            # only its j-mean enters Lf1.
+            Ltpre_c = _contract_blocks(Lt_blocks, wtT[c0 : c0 + cc])
+            Ltp1_c = sig_c * Ltpre_c + sig_c * (1.0 - sig_c) * (
+                2.0 * (AWt_c**2).sum(axis=2)
+            )
+            Lpre1 = Lpre1 + _contract(Ltp1_c.mean(axis=1), w1fT, 2 * S + c0)
 
     # tile-aligned store: scatter the per-b accumulators into the output's
     # b sublane via one-hot masks (no sub-tile stores).  eyed5 is the
@@ -659,19 +730,43 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
         out = term if out is None else out + term
     j_ref[:] = out
 
+    if emit_lap:
+        # U_il = -((sig0_i ⊙ AW0_il) W1 + A1_il W3)/n, streamed over l-chunks
+        # (the only full-pair transient of the lap path); only
+        # sum_{l,d} U^2 and sum_{l,d} U ⊙ V_l survive into sq1.
+        squ = jnp.zeros((n, S, lanes), dtype)
+        cross = jnp.zeros((n, S, lanes), dtype)
+        for l0 in range(0, n, lchunk):
+            lc = min(lchunk, n - l0)
+            A_lc = [blk[:, l0 : l0 + lc] for blk in A_blocks]
+            AW0_lc = _contract_blocks(A_lc, w30T)   # (n, lc, dim, S, LANES)
+            U_lc = -_contract(sig0[:, None, None, :, :] * AW0_lc, W1t) / n
+            tp_lc = [blk[:, l0 : l0 + lc] for blk in tp_blocks]
+            pre_lc = _contract_blocks(tp_lc, wtT) + bt
+            sig_lc = jax.lax.logistic(pre_lc)       # (n, lc, C1, LANES)
+            AWt_lc = _contract_blocks(A_lc, wtT)    # (n, lc, dim, C1, LANES)
+            A1_lc = sig_lc[:, :, None, :, :] * AWt_lc
+            U_lc = U_lc - _contract(A1_lc, W3t) / n
+            squ = squ + (U_lc**2).sum(axis=(1, 2))
+            cross = cross + (U_lc * V[None, l0 : l0 + lc]).sum(axis=(1, 2))
+
+        # sq1 = [(T+V_i)^2 - V_i^2]_d + sum U^2 + 2 sum U.V + sum_l V_l^2
+        sq1 = (((T + V) ** 2 - V**2).sum(axis=1)
+               + squ + 2.0 * cross
+               + (V**2).sum(axis=(0, 1))[None])
+        tail = sig1 * Lpre1 + sig1 * (1.0 - sig1) * sq1
+        lap = _contract(tail, wfT)                  # (n, dim, LANES)
+        for ci, Ls_c in enumerate(Lsp1_chunks):     # + Lsp1 @ wf (residual)
+            lap = lap + _contract(Ls_c, wfT, ci * schunk)
+        lap_ref[:] = lap
+
 
 # VMEM peak is dominated by the layer-0 pair blocks plus ONE streamed
 # (n, n, dim, cchunk, LANES) transient: ~62 MB at n=57 with cchunk=8.
 MAX_FLOW_N_D2 = 57
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False):
-    """Single-kernel depth-2 flow fwd+jac for n <= MAX_FLOW_N_D2.
-
-    Same contract as ``flow_u_jac_pallas``: x (B, n, dim) -> u (n, dim, B),
-    J (nd, nd, B) batch-last for the fused log-det tail.  Depth-2 only.
-    """
+def _d2_call(params, cfg: FermiNetConfig, x, interpret: bool, emit_lap: bool):
     B, n, dim = x.shape
     nd = n * dim
     assert cfg.depth == 2, "structured d2 kernel requires depth-2 flows"
@@ -707,36 +802,78 @@ def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False
         wf.T,                           # wfT (dim, S')
         wf,                             # wfE (S', dim)
         params["final"]["b"][:, None],
+        w1f[:S].T,                      # W1t (S', S) — lap path
+        w1f[S : 2 * S].T,               # W2t (S', S)
+        w1f[2 * S:].T,                  # W3t (S', C1)
     ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n, dim, padded), x.dtype),
+        jax.ShapeDtypeStruct((n, n, dim, dim, padded), x.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n, dim, dim, lanes), lambda i: (0, 0, 0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if emit_lap:
+        out_shape.append(jax.ShapeDtypeStruct((n, dim, padded), x.dtype))
+        out_specs.append(pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
 
     full = lambda a: pl.BlockSpec(jnp.shape(a), lambda i: (0,) * jnp.ndim(a),
                                   memory_space=pltpu.VMEM)
-    u, J5 = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _d2_kernel, n=n, dim=dim, L=float(cfg.L), lanes=lanes,
-            S=S, C1=C1, schunk=8, cchunk=8,
+            S=S, C1=C1, schunk=8, cchunk=8, lchunk=8, emit_lap=emit_lap,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, dim, padded), x.dtype),
-            jax.ShapeDtypeStruct((n, n, dim, dim, padded), x.dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ] + [full(a) for a in ops],
-        out_specs=(
-            pl.BlockSpec((n, dim, lanes), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n, dim, dim, lanes), lambda i: (0, 0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(xt, *ops)
 
+    u, J5 = outs[0], outs[1]
     J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)
     J = J + jnp.eye(nd, dtype=x.dtype)[:, :, None]
+    if emit_lap:
+        lap = outs[2].reshape(nd, padded)
+        return u[:, :, :B], J[:, :, :B], lap[:, :B]
     return u[:, :, :B], J[:, :, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False):
+    """Single-kernel depth-2 flow fwd+jac for n <= MAX_FLOW_N_D2.
+
+    Same contract as ``flow_u_jac_pallas``: x (B, n, dim) -> u (n, dim, B),
+    J (nd, nd, B) batch-last for the fused log-det tail.  Depth-2 only.
+    """
+    return _d2_call(params, cfg, x, interpret, emit_lap=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def flow_u_jac_lap_pallas_d2(params, cfg: FermiNetConfig, x,
+                             interpret: bool = False):
+    """Depth-2 flow fwd + Jacobian + coordinate Laplacian in one kernel.
+
+    x (B, n, dim) -> (u (n, dim, B), J (nd, nd, B), lap_u (nd, B)), exactly
+    equal (to roundoff) to ``ferminet_apply_jac_lap_d2``
+    (models/ferminet_jac.py) per walker.  Serves the accumulate phase's
+    primal flow evaluation in wavefunction/fast_laplacian.py — that slot is
+    consumed outside AD (the observables/gradients differentiate log Psi,
+    not the flow geometry), so the whole batch rides one kernel launch
+    instead of a vmapped jnp chain.  Reference analogue: none — the
+    reference computes this with nested jvp fan-outs per walker
+    (src/logpsi.py:86-134).
+    """
+    return _d2_call(params, cfg, x, interpret, emit_lap=True)

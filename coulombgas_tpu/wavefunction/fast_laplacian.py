@@ -46,7 +46,7 @@ def _cdtype(rdtype):
 
 def make_logpsi_grad_laplacian_analytic(
     flow_apply, sp_indices, L, hutchinson: bool = True, forloop: bool = False,
-    flow_jac=None, flow_jac_lap=None,
+    flow_jac=None, flow_jac_lap=None, flow_jac_lap_batched=None,
 ):
     """Batched (grad, laplacian) of log Psi with the analytic Slater part.
 
@@ -64,6 +64,12 @@ def make_logpsi_grad_laplacian_analytic(
     the analytic coordinate Laplacian of the flow, eliminating the last
     nd-wide fan-out (the jvp-of-jvp ``dir_second`` loop below) — the
     dominant accumulate-phase cost at large n.  It supersedes ``flow_jac``.
+    ``flow_jac_lap_batched(params, x (B, n, dim)) -> (u (B, n, dim),
+    J (B, nd, nd), lap_u (B, nd))`` replaces the PRIMAL flow evaluation for
+    the whole batch with one call (e.g. the Pallas d2 kernel,
+    ops/pallas_flow_jac.flow_u_jac_lap_pallas_d2) issued outside the
+    per-walker vmap; the differentiable ``flow_jac``/``flow_jac_lap`` is
+    still required for the Hutchinson log|det J| term, which runs under AD.
 
     Returns ``fn(x, params, state_indices, key) -> (grad, laplacian)`` with
     grad (batch, n, dim) complex and laplacian (batch,) complex — a drop-in
@@ -96,7 +102,7 @@ def make_logpsi_grad_laplacian_analytic(
         Fdiag = jnp.einsum("ij,abj->abi", DMt, kk)
         return g, E, Fdiag
 
-    def grad_lap_one(x, params, state_idx, v):
+    def grad_lap_one(x, params, state_idx, v, ujl=None):
         n, dim = x.shape
         nd = n * dim
         rdtype = x.dtype
@@ -105,7 +111,9 @@ def make_logpsi_grad_laplacian_analytic(
         x_flat = x.reshape(-1)
         flow_flat = lambda xf: flow_apply(params, xf.reshape(n, dim)).reshape(-1)
 
-        if flow_jac_lap is not None:
+        if ujl is not None:
+            u, J, lap_u = ujl  # batched kernel's per-walker slice
+        elif flow_jac_lap is not None:
             u, J, lap_u = flow_jac_lap(params, x)
         else:
             if flow_jac is not None:
@@ -177,6 +185,11 @@ def make_logpsi_grad_laplacian_analytic(
 
     def logpsi_grad_laplacian(x, params, state_indices, key):
         v = jax.random.normal(key, x.shape, x.dtype)
+        if flow_jac_lap_batched is not None:
+            ujl = flow_jac_lap_batched(params, x)  # one launch for the batch
+            return jax.vmap(
+                grad_lap_one, in_axes=(0, None, 0, 0, (0, 0, 0)), out_axes=0
+            )(x, params, state_indices, v, ujl)
         return jax.vmap(grad_lap_one, in_axes=(0, None, 0, 0), out_axes=0)(
             x, params, state_indices, v
         )

@@ -78,6 +78,11 @@ def parse_args(argv=None):
                         help="use the single-kernel depth-2 structured-closure "
                              "Pallas flow fwd+jac in the MCMC logp (any n <= 57; "
                              "opt-in until the chip A/B flips the default)")
+    parser.add_argument("--acc_d2_kernel", action="store_true",
+                        help="serve the accumulate phase's primal flow "
+                             "fwd+jac+laplacian from the batched Pallas d2 "
+                             "kernel (depth-2, n <= 57, analytic laplacian "
+                             "path only; opt-in until the chip A/B flips it)")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -353,10 +358,25 @@ def main(argv=None):
         )
 
         logpsi, _ = cg.make_logpsi_grad_laplacian(logpsi_novmap)
+        flow_jac_lap_batched = None
+        if args.acc_d2_kernel:
+            if args.slow_logp or args.depth != 2:
+                raise ValueError("--acc_d2_kernel requires --depth 2 and the "
+                                 "fast logp path")
+            from coulombgas_tpu.ops.pallas_flow_jac import (
+                MAX_FLOW_N_D2, flow_u_jac_lap_pallas_d2,
+            )
+
+            if jax.default_backend() == "tpu" and n <= MAX_FLOW_N_D2:
+                def flow_jac_lap_batched(p, xb):
+                    u, J, lap = flow_u_jac_lap_pallas_d2(p, flow_cfg, xb)
+                    return (jnp.moveaxis(u, -1, 0), jnp.moveaxis(J, -1, 0),
+                            jnp.moveaxis(lap, -1, 0))
         logpsi_grad_laplacian = make_logpsi_grad_laplacian_analytic(
             flow_apply, sp_indices_twist, L,
             hutchinson=args.hutchinson, forloop=args.forloop_laplacian,
             flow_jac_lap=None if args.slow_logp else flow_jac_lap,
+            flow_jac_lap_batched=flow_jac_lap_batched,
         )
     else:
         logpsi, logpsi_grad_laplacian = cg.make_logpsi_grad_laplacian(

@@ -36,7 +36,7 @@ def main():
         # depth-2 structured-closure Pallas flow fwd+jac in the MCMC logp
         # (ops/pallas_flow_jac.py:flow_u_jac_pallas_d2) — the round-3
         # candidate for the n >= 49 sampling wall.
-        impls = ["carried", "d2", "d2k"]
+        impls = ["carried", "d2", "d2k", "accd2k", "d2k+accd2k"]
         if cfg.get("mc_microbatch"):
             # the MCMC batch chunking only bounds the XLA fallback's Jacobian
             # fan-out; the d2 kernel streams in VMEM and needs no chunking
@@ -47,6 +47,13 @@ def main():
             elif impl == "d2k_nochunk":
                 full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
                 full.pop("mc_microbatch", None)
+            elif impl == "accd2k":
+                # batched Pallas jac+lap kernel serving the accumulate
+                # phase's primal flow slot (fast_laplacian.py)
+                full = dict(cfg, flow_jac_impl="carried", acc_d2_kernel=True)
+            elif impl == "d2k+accd2k":
+                full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True,
+                            acc_d2_kernel=True)
             else:
                 full = dict(cfg, flow_jac_impl=impl)
             try:

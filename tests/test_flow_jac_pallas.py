@@ -111,3 +111,66 @@ def test_d2_kernel_logp_end_to_end():
         np.asarray(d2k(x, params, si)), np.asarray(unfused(x, params, si)),
         rtol=0, atol=5e-3,
     )
+
+
+@pytest.mark.parametrize("dim,n", [(2, 7), (3, 5)])
+def test_flow_jac_lap_d2_kernel_matches_jnp(dim, n):
+    """d2 kernel with emit_lap vs the structured jnp jac+lap closure."""
+    from coulombgas_tpu.models.ferminet_jac import ferminet_apply_jac_lap_d2
+    from coulombgas_tpu.ops.pallas_flow_jac import flow_u_jac_lap_pallas_d2
+
+    L = 3.21
+    key = jax.random.PRNGKey(dim + n)
+    cfg = cg.FermiNetConfig(2, 16, 16, L)
+    params = cg.init_ferminet_params(key, cfg, dim, jnp.float32)
+    B = 5  # exercises lane padding too
+    x = jax.random.uniform(key, (B, n, dim), jnp.float32, 0.0, L)
+    u_t, J_t, lap_t = flow_u_jac_lap_pallas_d2(params, cfg, x, interpret=True)
+    u_r, J_r, lap_r = jax.vmap(
+        lambda q: ferminet_apply_jac_lap_d2(params, cfg, q)
+    )(x)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(u_t), -1, 0), np.asarray(u_r), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(J_t), -1, 0), np.asarray(J_r), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(lap_t), -1, 0), np.asarray(lap_r), atol=2e-4
+    )
+
+
+def test_grad_laplacian_batched_kernel_path():
+    """fast_laplacian with flow_jac_lap_batched == the per-walker jnp path."""
+    from coulombgas_tpu.ops.pallas_flow_jac import flow_u_jac_lap_pallas_d2
+    from coulombgas_tpu.wavefunction.fast_laplacian import (
+        make_logpsi_grad_laplacian_analytic,
+    )
+
+    flow_apply, params, sp_twist, L, x, si = _setup(
+        n=7, dim=2, Emax=9, batch=4, dtype=jnp.float32
+    )
+    cfg = cg.FermiNetConfig(2, 8, 8, L)
+    from coulombgas_tpu.models.ferminet_jac import ferminet_apply_jac_lap_d2
+
+    fjl = lambda p, q: ferminet_apply_jac_lap_d2(p, cfg, q)
+
+    def fjl_batched(p, xb):
+        u, J, lap = flow_u_jac_lap_pallas_d2(p, cfg, xb, interpret=True)
+        return (jnp.moveaxis(u, -1, 0), jnp.moveaxis(J, -1, 0),
+                jnp.moveaxis(lap, -1, 0))
+
+    key = jax.random.PRNGKey(3)
+    ref_fn = make_logpsi_grad_laplacian_analytic(
+        flow_apply, sp_twist, L, hutchinson=True, flow_jac_lap=fjl
+    )
+    ker_fn = make_logpsi_grad_laplacian_analytic(
+        flow_apply, sp_twist, L, hutchinson=True, flow_jac_lap=fjl,
+        flow_jac_lap_batched=fjl_batched,
+    )
+    g_ref, l_ref = ref_fn(x, params, si, key)
+    g_ker, l_ker = ker_fn(x, params, si, key)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(l_ker), np.asarray(l_ref),
+                               rtol=0, atol=5e-2)
