@@ -72,15 +72,18 @@ def host_solve_scaled(fisher, grads, damping, max_norm):
     Same semantics as optim.sr._solve_scaled: a non-positive or non-finite
     curvature g^T M^{-1} g means the solve is untrustworthy -> null step.
     """
-    M = np.asarray(fisher, np.float64)
-    M = M + damping * np.eye(M.shape[0])
+    A = np.asarray(fisher, np.float64)
+    damp = damping * np.eye(A.shape[0])
     g = np.asarray(grads, np.float64)
     try:
-        c = sla.cho_factor(M, check_finite=False)
+        # the damped sum is a per-call temporary: let LAPACK factor it in
+        # place instead of copying the (possibly hundreds-of-MB) matrix again
+        c = sla.cho_factor(A + damp, check_finite=False, overwrite_a=True)
         upd = sla.cho_solve(c, g, check_finite=False)
     except Exception:
-        # centered quantum Fisher can be (numerically) indefinite
-        upd = sla.solve(M, g, check_finite=False)
+        # centered quantum Fisher can be (numerically) indefinite; rebuild
+        # the damped matrix — the failed in-place factorization clobbered it
+        upd = sla.solve(A + damp, g, check_finite=False)
     gnorm = float(g @ upd)
     if not np.isfinite(gnorm) or gnorm <= 0.0:
         return np.zeros_like(upd), {"gnorm": gnorm, "scale": 0.0}
@@ -93,10 +96,15 @@ def host_solve_scaled(fisher, grads, damping, max_norm):
 def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
     """Full hybrid-SR apply math in f64 from the host copy of the accumulators.
 
-    ``acc_host``: numpy pytree with the same structure train.init_accumulators
+    ``acc_host``: pytree with the same structure train.init_accumulators
     builds ('data', 'grads', 'classical_score', 'quantum_score',
     'classical_fisher', 'quantum_fisher', 'quantum_score_mean'), each entry a
-    SUM over acc_steps accumulation steps.
+    SUM over acc_steps accumulation steps.  Leaves may be numpy arrays OR
+    still-on-device jax arrays whose host copies were started with
+    ``copy_to_host_async`` (main.py host64_apply_step): each ``np.asarray``
+    below blocks only on its own leaf, so on the production path the quantum
+    Fisher's device->host transfer streams (DMA, no GIL) WHILE LAPACK runs
+    the classical solve — the fetch order here is the pipeline schedule.
 
     Returns (upd_van_raveled, upd_flow_raveled, data, diag) — updates as f64
     numpy vectors for the device-side unravel+apply, ``data`` the normalized
@@ -113,20 +121,23 @@ def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
     grad_van = grad_van - data["F_mean"] * score_van
     grad_flow = grad_flow - data["E_mean"] * score_flow
 
+    # ---- classical block: fetch, unpack, solve (quantum Fisher in flight) --
     cf = np.asarray(acc_host["classical_fisher"], np.float64)
-    qf = np.asarray(acc_host["quantum_fisher"], np.float64)
     if cf.ndim == 1:  # packed upper triangle (sym_pack on device)
         cf = sym_unpack(cf)
+    cf = cf / acc_steps
+    upd_van, diag_van = host_solve_scaled(cf, grad_van, damping, max_norm)
+    del cf
+
+    # ---- quantum block --------------------------------------------------
+    qf = np.asarray(acc_host["quantum_fisher"], np.float64)
     if qf.ndim == 1:
         qf = sym_unpack(qf)
-    cf = cf / acc_steps
     qf = qf / acc_steps
     qsm2 = np.asarray(acc_host["quantum_score_mean"], np.float64) / acc_steps
     qsm = qsm2[0] + 1j * qsm2[1]
     # Center the quantum Fisher: subtract the mean-score outer product.
     qf = qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
-
-    upd_van, diag_van = host_solve_scaled(cf, grad_van, damping, max_norm)
     upd_flow, diag_flow = host_solve_scaled(qf, grad_flow, damping, max_norm)
     diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
             "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}

@@ -472,9 +472,23 @@ def main(argv=None):
             mesh with the replicated sharding (parallel.mesh.replicate handles
             the multi-process make_array_from_callback path).
             """
-            acc_host = jax.device_get(pack_acc_jit(acc))
+            packed = pack_acc_jit(acc)
+            # Start every device->host copy now, classical Fisher first and
+            # quantum Fisher last: host_hybrid_apply fetches in that order,
+            # so the quantum block streams over the link (DMA) while LAPACK
+            # factors the classical block — on this tunnel that overlap hides
+            # most of one Fisher transfer per epoch (optim/host_sr.py).
+            try:
+                packed["classical_fisher"].copy_to_host_async()
+                for k in sorted(packed):
+                    if k not in ("classical_fisher", "quantum_fisher"):
+                        for leaf in jax.tree.leaves(packed[k]):
+                            leaf.copy_to_host_async()
+                packed["quantum_fisher"].copy_to_host_async()
+            except Exception:
+                pass  # backends without async D2H: plain blocking fetches
             uv, uf, d, diag = host_hybrid_apply(
-                acc_host, args.acc_steps, args.damping,
+                packed, args.acc_steps, args.damping,
                 args.max_norm * trust_scale,
             )
             if jax.process_count() > 1:
