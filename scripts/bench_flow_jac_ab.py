@@ -29,14 +29,20 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    for name, cfg in bench.CONFIGS:
+    # n49 first: it is the config the kernel decision actually hinges on
+    # (the n>=49 sampling wall), so a chip-window cutoff still yields the
+    # decisive rows.  Rows print as they complete.
+    order = sorted(bench.CONFIGS, key=lambda c: 0 if "n49" in c[0] else 1)
+    for name, cfg in order:
         if args.configs and name not in args.configs:
             continue
         # 'd2k' = carried jnp path for the AD phases + the single-kernel
         # depth-2 structured-closure Pallas flow fwd+jac in the MCMC logp
         # (ops/pallas_flow_jac.py:flow_u_jac_pallas_d2) — the round-3
         # candidate for the n >= 49 sampling wall.
-        impls = ["carried", "d2", "d2k", "accd2k", "d2k+accd2k"]
+        # decision-critical first (baseline, then the round-3 kernels); the
+        # known-slower XLA d2 closure re-measures last
+        impls = ["carried", "d2k", "accd2k", "d2k+accd2k", "d2"]
         if cfg.get("mc_microbatch"):
             # the MCMC batch chunking only bounds the XLA fallback's Jacobian
             # fan-out; the d2 kernel streams in VMEM and needs no chunking
