@@ -46,12 +46,16 @@ def main():
         if cfg.get("mc_microbatch"):
             # the MCMC batch chunking only bounds the XLA fallback's Jacobian
             # fan-out; the d2 kernel streams in VMEM and needs no chunking
-            impls.append("d2k_nochunk")
+            impls[2:2] = ["d2k_nochunk", "d2k_nochunk+accd2k"]
         for impl in impls:
             if impl == "d2k":
                 full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
             elif impl == "d2k_nochunk":
                 full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True)
+                full.pop("mc_microbatch", None)
+            elif impl == "d2k_nochunk+accd2k":
+                full = dict(cfg, flow_jac_impl="carried", mc_d2_kernel=True,
+                            acc_d2_kernel=True)
                 full.pop("mc_microbatch", None)
             elif impl == "accd2k":
                 # batched Pallas jac+lap kernel serving the accumulate
