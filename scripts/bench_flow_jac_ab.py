@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--configs", nargs="*", default=None,
                     help="subset of config names (default: all in bench.CONFIGS)")
+    ap.add_argument("--impls", nargs="*", default=None,
+                    help="explicit impl list (default: carried + the kernels)")
     args = ap.parse_args()
 
     results = {}
@@ -40,10 +42,12 @@ def main():
         # depth-2 structured-closure Pallas flow fwd+jac in the MCMC logp
         # (ops/pallas_flow_jac.py:flow_u_jac_pallas_d2) — the round-3
         # candidate for the n >= 49 sampling wall.
-        # decision-critical first (baseline, then the round-3 kernels); the
-        # known-slower XLA d2 closure re-measures last
-        impls = ["carried", "d2k", "accd2k", "d2k+accd2k", "d2"]
-        if cfg.get("mc_microbatch"):
+        # decision-critical only: carried baseline + the round-3 kernels.
+        # The XLA d2 closure needs no re-measurement — BENCH_r02 already IS
+        # its end-to-end number at all three configs (PERF.md round-2
+        # section); pass --impls d2 to re-run it explicitly.
+        impls = args.impls or ["carried", "d2k", "accd2k", "d2k+accd2k"]
+        if cfg.get("mc_microbatch") and args.impls is None:
             # the MCMC batch chunking only bounds the XLA fallback's Jacobian
             # fan-out; the d2 kernel streams in VMEM and needs no chunking
             impls[2:2] = ["d2k_nochunk", "d2k_nochunk+accd2k"]
