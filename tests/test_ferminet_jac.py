@@ -130,3 +130,39 @@ def test_structured_d2_jac_lap_matches_carried():
         np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), rtol=0, atol=1e-14)
         np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), rtol=0, atol=1e-12)
         np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), rtol=0, atol=1e-12)
+
+
+def test_select_flow_jac_auto_is_carried():
+    """Pin the measured-faster default: 'auto' must resolve to the
+    carried-state path (BENCH_r02 showed the d2 closure 15-25% slower
+    end-to-end at every benched config; the default was reverted in round 3
+    and this test guards against a silent re-flip).
+
+    Two behavioral pins: (a) 'auto' works at depth != 2, which the d2
+    closure cannot (it raises); (b) at depth 2 'auto' is bitwise identical
+    to 'carried' on a random input, which the d2 closure is not (it agrees
+    only to roundoff).
+    """
+    from coulombgas_tpu.models.ferminet_jac import select_flow_jac
+
+    # (a) depth-3: d2 would raise; auto must not.
+    cfg3 = cg.FermiNetConfig(3, 8, 8, 5.0)
+    with pytest.raises(ValueError):
+        select_flow_jac(cfg3, "d2")
+    jac_auto3, _ = select_flow_jac(cfg3, "auto")
+    params3 = cg.init_ferminet_params(jax.random.PRNGKey(0), cfg3, 2, jnp.float64)
+    x3 = jax.random.uniform(jax.random.PRNGKey(1), (5, 2), jnp.float64, 0.0, 5.0)
+    jac_auto3(params3, x3)  # must not raise
+
+    # (b) depth-2: auto == carried bitwise.
+    cfg = cg.FermiNetConfig(2, 8, 8, 5.0)
+    params = cg.init_ferminet_params(jax.random.PRNGKey(2), cfg, 2, jnp.float64)
+    params = jax.tree.map(lambda a: 30.0 * a, params)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (6, 2), jnp.float64, 0.0, 5.0)
+    za, Ja = select_flow_jac(cfg, "auto")[0](params, x)
+    zc, Jc = select_flow_jac(cfg, "carried")[0](params, x)
+    assert (np.asarray(za) == np.asarray(zc)).all()
+    assert (np.asarray(Ja) == np.asarray(Jc)).all()
+    la = select_flow_jac(cfg, "auto")[1](params, x)[2]
+    lc = select_flow_jac(cfg, "carried")[1](params, x)[2]
+    assert (np.asarray(la) == np.asarray(lc)).all()
