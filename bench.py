@@ -224,13 +224,18 @@ def main():
         if primary is None:
             primary = dt
 
+    # primary is None only if every config errored (e.g. the TPU pool was
+    # unavailable); still print the JSON line so the run is recorded as an
+    # environment failure, not a crash.
     print(
         json.dumps(
             {
                 "metric": "vmc_train_step_n13_batch8192_hutchinson_sr",
-                "value": round(primary, 4),
+                "value": round(primary, 4) if primary else None,
                 "unit": "s/step",
-                "vs_baseline": round(PINNED_BASELINE_SECONDS / primary, 3),
+                "vs_baseline": (
+                    round(PINNED_BASELINE_SECONDS / primary, 3) if primary else None
+                ),
                 "detail": detail,
             }
         )
