@@ -7,6 +7,12 @@ pretraining columns (reference pretraining.py:105-107):
 F/E/K/V in Ry/rs^2, S dimensionless; error bars are
 sqrt((<O^2> - <O>^2) / total_batch).  Keeping the byte format identical lets
 the reference's analysis tooling (and our parity checks) consume either log.
+
+Gap semantics: epochs reverted by the update tripwire (train/tripwire.py)
+are NOT written to data.txt — their forensics land in sr_diag.txt instead —
+so the epoch column is monotone but may be non-contiguous.  Consumers must
+key on the epoch value, never on row count (analysis/ewm.py and the
+tail-mean tests already do).
 """
 
 from __future__ import annotations

@@ -373,7 +373,9 @@ def flow_u_jac_pallas_large(params, cfg: FermiNetConfig, x,
     """
     B, n, dim = x.shape
     nd = n * dim
-    assert cfg.depth == 2, "large-n Pallas path supports depth-2 flows"
+    if cfg.depth != 2:  # not assert: must survive python -O (wrong-Jacobian risk)
+        raise ValueError("large-n Pallas path supports depth-2 flows only, "
+                         "got depth=%d" % cfg.depth)
     lanes = 128
     nblocks = pl.cdiv(B, lanes)
     padded = nblocks * lanes
@@ -769,7 +771,9 @@ MAX_FLOW_N_D2 = 57
 def _d2_call(params, cfg: FermiNetConfig, x, interpret: bool, emit_lap: bool):
     B, n, dim = x.shape
     nd = n * dim
-    assert cfg.depth == 2, "structured d2 kernel requires depth-2 flows"
+    if cfg.depth != 2:  # not assert: must survive python -O (wrong-Jacobian risk)
+        raise ValueError("structured d2 kernel requires depth-2 flows, "
+                         "got depth=%d" % cfg.depth)
     lanes = flow_jac_lanes(n)
     nblocks = pl.cdiv(B, lanes)
     padded = nblocks * lanes

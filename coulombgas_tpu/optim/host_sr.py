@@ -19,11 +19,22 @@ plateaus, PARITY.md); the on-device 'refined' solver covers the rest.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.linalg as sla
 
 __all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host",
            "sym_pack", "sym_unpack"]
+
+
+@functools.lru_cache(maxsize=16)
+def _triu_flat_indices(P):
+    """Flat (row-major) indices of the upper triangle of a (P, P) matrix,
+    computed once per P — sym_pack can be called eagerly every epoch
+    (pretrain's grads_and_fisher), so the O(P^2) index build is cached."""
+    iu = np.triu_indices(P)
+    return iu[0] * P + iu[1]
 
 
 def sym_pack(M):
@@ -32,12 +43,11 @@ def sym_pack(M):
     matrices, the dominant host64 cost on a slow link (see module docstring).
     Jit-traceable (pure jnp); inverted on host by :func:`sym_unpack`.
     """
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # this module is otherwise host-only (numpy/LAPACK)
 
     P = M.shape[-1]
-    iu = np.triu_indices(P)
     flat = jnp.reshape(M, M.shape[:-2] + (P * P,))
-    return jnp.take(flat, jnp.asarray(iu[0] * P + iu[1]), axis=-1)
+    return jnp.take(flat, _triu_flat_indices(P), axis=-1)
 
 
 def sym_unpack(v, dtype=np.float64):

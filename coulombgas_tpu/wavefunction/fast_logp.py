@@ -33,6 +33,19 @@ from ..ops.logdet import chol_logdet, gram_logabsdet, planewave_gram_embed
 
 __all__ = ["make_logp_fast"]
 
+_WARNED: set[str] = set()
+
+
+def _warn_once(msg: str) -> None:
+    """One-time (per process, per message) notice that an explicitly
+    requested Pallas flow kernel is NOT engaged, so a user or A/B bench
+    never silently measures the fallback path (advisor round 3)."""
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
 
 def make_logp_fast(
     flow_apply,
@@ -86,7 +99,15 @@ def make_logp_fast(
         nd = n * dim
         rdtype = x.dtype
 
-        if pallas_flow_cfg is not None and _fused_ok(x):
+        fused = pallas_flow_cfg is not None and _fused_ok(x)
+        if (use_d2_flow or use_large_flow) and not fused:
+            _warn_once(
+                "use_d2_flow/use_large_flow requested but the fused Pallas "
+                "path is not available (backend=%s, dtype=%s%s); MCMC logp "
+                "falls back to the XLA flow path"
+                % (jax.default_backend(), x.dtype,
+                   "" if pallas_flow_cfg is not None else ", no flow cfg"))
+        if fused:
             # all-Pallas path: batch-in-lanes flow fwd+jac kernel(s) feeding
             # the fused log-det tail in its native batch-last layout — the
             # whole Metropolis logp is back-to-back kernels with no XLA
@@ -112,8 +133,23 @@ def make_logp_fast(
             # depth-2 structured-closure kernel: no carried Jacobian state at
             # all (the wall both paths above pay at n >= 49); explicit opt-in
             # until the chip A/B (scripts/bench_flow_jac_ab.py) flips it.
+            # Precedence when both flags are set: d2 wins over large.
             if use_d2_flow and n <= MAX_FLOW_N_D2 and pallas_flow_cfg.depth == 2:
                 flow_kernel = flow_u_jac_pallas_d2
+            if use_d2_flow and flow_kernel is not flow_u_jac_pallas_d2:
+                _warn_once(
+                    "use_d2_flow requested but the d2 Pallas kernel is not "
+                    "engaged (n=%d > %d or depth=%d != 2); MCMC logp falls "
+                    "back to %s" % (n, MAX_FLOW_N_D2, pallas_flow_cfg.depth,
+                                    "the large-flow kernel" if flow_kernel
+                                    is flow_u_jac_pallas_large else
+                                    "the XLA flow path"))
+            if use_large_flow and not use_d2_flow and \
+                    flow_kernel is not flow_u_jac_pallas_large:
+                _warn_once(
+                    "use_large_flow requested but the large-n Pallas kernel "
+                    "is not engaged (n=%d > %d or depth=%d != 2)"
+                    % (n, MAX_FLOW_N_LARGE, pallas_flow_cfg.depth))
             if flow_kernel is not None:
                 u_t, J_t = flow_kernel(
                     params, pallas_flow_cfg, x, interpret=fused_interpret

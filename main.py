@@ -372,6 +372,14 @@ def main(argv=None):
                     u, J, lap = flow_u_jac_lap_pallas_d2(p, flow_cfg, xb)
                     return (jnp.moveaxis(u, -1, 0), jnp.moveaxis(J, -1, 0),
                             jnp.moveaxis(lap, -1, 0))
+            else:
+                # fail loudly rather than silently measuring the XLA
+                # fallback (advisor round 3): the flag is an explicit
+                # request for the Pallas kernel.
+                raise ValueError(
+                    "--acc_d2_kernel requested but the d2 Pallas kernel "
+                    "cannot engage: backend=%s (needs tpu), n=%d (max %d)"
+                    % (jax.default_backend(), n, MAX_FLOW_N_D2))
         logpsi_grad_laplacian = make_logpsi_grad_laplacian_analytic(
             flow_apply, sp_indices_twist, L,
             hutchinson=args.hutchinson, forloop=args.forloop_laplacian,

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--acc_steps", type=int, default=1)
     ap.add_argument("--n", type=int, default=13)
     ap.add_argument("--skip", type=int, default=2, help="warmup epoch gaps to drop")
+    ap.add_argument("--hutchinson", action="store_true",
+                    help="production Laplacian estimator (reference "
+                    "run/submit.py:36); use for the n=29 production config")
     ap.add_argument("--out", default=os.path.join(REPO, "PERF_yardstick.json"))
     ap.add_argument("--workdir", default="/tmp/yardstick")
     args = ap.parse_args()
@@ -74,9 +77,12 @@ def main():
     common = ["--n", str(args.n), "--dim", "2", "--rs", "10.0", "--Theta", "0.15",
               "--Emax", "25", "--sr", "--batch", str(args.batch),
               "--acc_steps", str(args.acc_steps), "--epoch", str(args.epochs)]
+    if args.hutchinson:
+        common.append("--hutchinson")
 
     results = {"config": {"n": args.n, "batch": args.batch,
                           "acc_steps": args.acc_steps, "epochs": args.epochs,
+                          "hutchinson": args.hutchinson,
                           "backend": "cpu f64, 8 virtual devices, single host core"}}
 
     # ---- reference ------------------------------------------------------
