@@ -598,7 +598,10 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
     for s0 in range(0, S, schunk):
         sc = min(schunk, S - s0)
         AW0_c = _contract_blocks(A_blocks, w30T[s0 : s0 + sc])  # (n,n,dim,sc,L)
-        SP_c = -(sig0[:, None, None, s0 : s0 + sc, :] * AW0_c).sum(axis=0) / n
+        sig0_c = sig0[:, s0 : s0 + sc, :]  # slice, THEN newaxis: a mixed
+        # None+bounded-slice getitem lowers via gather, which Mosaic
+        # rejects beyond 2D (round-4 chip A/B failure)
+        SP_c = -(sig0_c[:, None, None] * AW0_c).sum(axis=0) / n
         G_chunks.append(D[:, :, s0 : s0 + sc, :] + SP_c)        # (n,dim,sc,L)
         if emit_lap:
             # sq0 = [(sum_l AW0_il)^2 + sum_l AW0_il^2]_d-summed / n^2
@@ -662,8 +665,9 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
     # N_b = -(1/n) W3 (sig1*wf[:, b]);            R_b = (1/n) W2 (sig1*wf[:, b]).
     Ms, Ks, Ns, Rs = [], [], [], []
     for b in range(dim):
-        Q_b = sig1 * wfE[None, :, b : b + 1]        # (n, S', LANES)
-        M_b = wfE[None, :, b : b + 1] + _contract(Q_b, W1)
+        wfE_b = wfE[:, b : b + 1][None]             # slice, then newaxis
+        Q_b = sig1 * wfE_b                          # (n, S', LANES)
+        M_b = wfE_b + _contract(Q_b, W1)
         Ms.append(M_b)
         Ks.append(-_contract(sig0 * M_b, w30) / n)  # (n, C0, LANES)
         Ns.append(-_contract(Q_b, W3) / n)          # (n, C1, LANES)
@@ -681,7 +685,7 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
         coff = 0
         for blk in A_blocks:
             ck = blk.shape[-2]
-            k_ch = Ks[b][:, None, None, coff : coff + ck, :]  # (n,1,1,ck,L)
+            k_ch = Ks[b][:, coff : coff + ck, :][:, None, None]  # (n,1,1,ck,L)
             Jb[b] = Jb[b] + (blk * k_ch).sum(axis=-2, keepdims=True)
             coff += ck
 
@@ -691,9 +695,9 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
         g_ch = g_c[None]                              # (1, n, dim, sc, LANES)
         d_ch = D[:, :, s0 : s0 + sc, :]               # (n, dim, sc, LANES)
         for b in range(dim):
-            r_ch = Rs[b][:, None, None, s0 : s0 + sc, :]
+            r_ch = Rs[b][:, s0 : s0 + sc, :][:, None, None]
             Jb[b] = Jb[b] + (g_ch * r_ch).sum(axis=-2, keepdims=True)
-            m_ch = Ms[b][:, None, s0 : s0 + sc, :]
+            m_ch = Ms[b][:, s0 : s0 + sc, :][:, None]
             diag[b] = diag[b] + (d_ch * m_ch).sum(axis=-2, keepdims=True)
 
     # tp layer pass 2: A1_{ildc} N_{icb} pair term and the SumA1 diagonal,
@@ -706,10 +710,10 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
         A1_c = sig_c[:, :, None, :, :] * AWt_c      # (n, n, dim, cc, LANES)
         sumA1_c = A1_c.sum(axis=1)                  # (n, dim, cc, LANES)
         for b in range(dim):
-            n_ch = Ns[b][:, None, None, c0 : c0 + cc, :]
+            n_ch = Ns[b][:, c0 : c0 + cc, :][:, None, None]
             Jb[b] = Jb[b] + (A1_c * n_ch).sum(axis=-2, keepdims=True)
             diag[b] = diag[b] - (
-                sumA1_c * Ns[b][:, None, c0 : c0 + cc, :]
+                sumA1_c * Ns[b][:, c0 : c0 + cc, :][:, None]
             ).sum(axis=-2, keepdims=True)
         if emit_lap:
             T = T + _contract(sumA1_c, W3t, c0) / n
@@ -750,7 +754,7 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
             A1_lc = sig_lc[:, :, None, :, :] * AWt_lc
             U_lc = U_lc - _contract(A1_lc, W3t) / n
             squ = squ + (U_lc**2).sum(axis=(1, 2))
-            cross = cross + (U_lc * V[None, l0 : l0 + lc]).sum(axis=(1, 2))
+            cross = cross + (U_lc * V[l0 : l0 + lc][None]).sum(axis=(1, 2))
 
         # sq1 = [(T+V_i)^2 - V_i^2]_d + sum U^2 + 2 sum U.V + sum_l V_l^2
         sq1 = (((T + V) ** 2 - V**2).sum(axis=1)

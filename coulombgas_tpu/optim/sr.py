@@ -34,7 +34,8 @@ def _ravel_batch(scores):
 
 
 def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
-                  jacobi: bool = False, with_diag: bool = False):
+                  jacobi: bool = False, with_diag: bool = False,
+                  chol: bool = False):
     """Damped dense solve + trust-region scaling; returns the *negated* step.
 
     The centered quantum Fisher is PSD only up to roundoff; in f32 the damped
@@ -63,19 +64,39 @@ def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
     """
     dtype = fisher.dtype
     M = fisher + damping * jnp.eye(fisher.shape[0], dtype=dtype)
-    if dtype == jnp.float64 or not (jacobi or refine):
+    if dtype == jnp.float64 or not (jacobi or refine or chol):
         updates = jax.scipy.linalg.solve(M, grads_raveled)
         gnorm = jnp.sum(grads_raveled * updates)
     else:
         s = jax.lax.rsqrt(jnp.diagonal(M)) if jacobi else jnp.ones_like(grads_raveled)
         Ms = M * s[:, None] * s[None, :]
         gs = grads_raveled * s
-        lu_piv = jax.scipy.linalg.lu_factor(Ms)
-        y = jax.scipy.linalg.lu_solve(lu_piv, gs)
         hi = jax.lax.Precision.HIGHEST
+        if chol:
+            # SPD path: Cholesky avoids both LU's pivot machinery (which has
+            # crashed the XLA TPU compiler at production P — see
+            # data/parity_n49_refined.log) and half its FLOPs.  The damped
+            # Fisher is SPD in exact arithmetic, but the CENTERED quantum
+            # Fisher can be numerically indefinite in f32; a failed
+            # factorization yields non-finite entries, in which case we
+            # refactor once with boosted damping (on the Jacobi-scaled
+            # system, whose diagonal is ~1).  Any still-pathological solve
+            # falls through to the gnorm<=0 zero-step guard below.
+            eye = jnp.eye(Ms.shape[0], dtype=dtype)
+            c = jax.scipy.linalg.cholesky(Ms, lower=True)
+            bad = ~jnp.all(jnp.isfinite(c))
+            Ms_b = Ms + jnp.asarray(32.0 * damping, dtype) * eye
+            c_b = jax.scipy.linalg.cholesky(Ms_b, lower=True)
+            c = jnp.where(bad, c_b, c)
+            Ms = jnp.where(bad, Ms_b, Ms)
+            solve = lambda rhs: jax.scipy.linalg.cho_solve((c, True), rhs)
+        else:
+            lu_piv = jax.scipy.linalg.lu_factor(Ms)
+            solve = lambda rhs: jax.scipy.linalg.lu_solve(lu_piv, rhs)
+        y = solve(gs)
         for _ in range(refine):
             r = gs - jnp.dot(Ms, y, precision=hi)
-            y = y + jax.scipy.linalg.lu_solve(lu_piv, r)
+            y = y + solve(r)
         updates = y * s
         gnorm = jnp.sum(grads_raveled * updates)
     ok = jnp.isfinite(gnorm) & (gnorm > 0)
@@ -98,7 +119,8 @@ class FisherSR(NamedTuple):
     update: Any
 
 
-def fisher_sr(score_fn, damping, max_norm, refine: int = 0, jacobi: bool = False) -> FisherSR:
+def fisher_sr(score_fn, damping, max_norm, refine: int = 0, jacobi: bool = False,
+              chol: bool = False) -> FisherSR:
     """SR for the classical VAN alone (used by free-fermion pretraining).
 
     ``score_fn(params, state_indices)`` returns per-sample score pytrees.
@@ -120,7 +142,8 @@ def fisher_sr(score_fn, damping, max_norm, refine: int = 0, jacobi: bool = False
         fisher = score.T @ score / batch
         upd, diag = _solve_scaled(fisher, grads_raveled, damping,
                                   max_norm * max_norm_scale,
-                                  refine=refine, jacobi=jacobi, with_diag=True)
+                                  refine=refine, jacobi=jacobi, chol=chol,
+                                  with_diag=True)
         return unravel(upd), diag
 
     return FisherSR(init_fn, update_fn)
@@ -153,7 +176,8 @@ class HybridFisherSR(NamedTuple):
 
 
 def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm,
-                     refine: int = 0, jacobi: bool = False) -> HybridFisherSR:
+                     refine: int = 0, jacobi: bool = False,
+                     chol: bool = False) -> HybridFisherSR:
     """Hybrid SR over (params_van, params_flow).
 
     ``scores(params_van, params_flow, state_indices, x)`` returns the raveled
@@ -195,9 +219,11 @@ def hybrid_fisher_sr(classical_score_fn, quantum_score_fn, damping, max_norm,
         gv, unravel_van = ravel_pytree(grad_van)
         gf, unravel_flow = ravel_pytree(grad_flow)
         upd_van, diag_van = _solve_scaled(classical_fisher, gv, damping, scaled_norm,
-                                          refine=refine, jacobi=jacobi, with_diag=True)
+                                          refine=refine, jacobi=jacobi, chol=chol,
+                                          with_diag=True)
         upd_flow, diag_flow = _solve_scaled(quantum_fisher, gf, damping, scaled_norm,
-                                            refine=refine, jacobi=jacobi, with_diag=True)
+                                            refine=refine, jacobi=jacobi, chol=chol,
+                                            with_diag=True)
         diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
                 "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}
         return (unravel_van(upd_van), unravel_flow(upd_flow)), diag

@@ -83,6 +83,10 @@ def pretrain(
 
     ``solver`` selects the SR dense-solve numerics: "plain" (f32 on device),
     "refined" (Jacobi scaling + 2 rounds of iterative refinement, still f32),
+    "chol" (like "refined" but a guarded SPD Cholesky factorization instead
+    of LU — avoids the XLA-TPU LU compiler crash at production P and stays
+    entirely on device, unlike "host64" whose Fisher pull can dominate the
+    epoch on a slow tunnel),
     or "host64" (the classical Fisher is pulled to the host every epoch and
     the damped solve runs in LAPACK float64 — the escape hatch for the
     large-n f32 SR plateau, see PARITY.md).
@@ -115,11 +119,12 @@ def pretrain(
     loss_fn = make_freefermion_loss(log_prob, Es_twist, beta, clip_factor)
 
     host64 = sr and solver == "host64"
-    refined = solver == "refined"
+    refined = solver in ("refined", "chol")
     if sr:
         score_fn = make_classical_score(log_prob_novmap)
         optimizer = fisher_sr(score_fn, damping, max_norm,
-                              refine=2 if refined else 0, jacobi=refined)
+                              refine=2 if refined else 0, jacobi=refined,
+                              chol=solver == "chol")
     else:
         optimizer = optax.adam(lr)
     opt_state = optimizer.init(params_van)

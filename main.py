@@ -89,11 +89,13 @@ def parse_args(argv=None):
     parser.add_argument("--sr", action="store_true", help="stochastic reconfiguration")
     parser.add_argument("--damping", type=float, default=1e-3)
     parser.add_argument("--max_norm", type=float, default=1e-3)
-    parser.add_argument("--sr_solver", choices=["plain", "refined", "host64"], default="plain",
+    parser.add_argument("--sr_solver", choices=["plain", "refined", "chol", "host64"], default="plain",
                         help="SR dense-solve variant: plain f32 on device; 'refined' adds "
-                             "Jacobi scaling + 2 rounds of iterative refinement; 'host64' "
-                             "pulls the Fisher matrices to the host each apply step and "
-                             "solves in float64 (LAPACK)")
+                             "Jacobi scaling + 2 rounds of iterative refinement (LU); "
+                             "'chol' is 'refined' with a guarded SPD Cholesky instead of "
+                             "LU (avoids the XLA-TPU LU crash at production P, stays on "
+                             "device); 'host64' pulls the Fisher matrices to the host "
+                             "each apply step and solves in float64 (LAPACK)")
     parser.add_argument("--tripwire_sigma", type=float, default=15.0,
                         help="revert an update when F jumps upward by more than this many "
                              "combined standard errors in one epoch (0 disables); guards "
@@ -286,10 +288,11 @@ def main(argv=None):
     if args.sr:
         classical_score_fn = cg.make_classical_score(log_prob_novmap)
         quantum_score_fn = cg.make_quantum_score(logpsi_novmap)
-        refined = args.sr_solver == "refined"
+        refined = args.sr_solver in ("refined", "chol")
         sr_opt = hybrid_fisher_sr(classical_score_fn, quantum_score_fn,
                                   args.damping, args.max_norm,
-                                  refine=2 if refined else 0, jacobi=refined)
+                                  refine=2 if refined else 0, jacobi=refined,
+                                  chol=args.sr_solver == "chol")
         optimizer = None
         opt_state = sr_opt.init((params_van, params_flow))
         print("Optimizer hybrid_fisher_sr: damping = %.5f, max_norm = %.5f, solver = %s"

@@ -31,7 +31,7 @@ def main():
     parser.add_argument("--clip", type=float, default=None,
                         help="TV clip factor for the REINFORCE weights "
                         "(off by default = reference semantics)")
-    parser.add_argument("--solver", choices=["plain", "refined", "host64"], default="plain",
+    parser.add_argument("--solver", choices=["plain", "refined", "chol", "host64"], default="plain",
                         help="SR dense-solve numerics (host64 = f64 LAPACK on host)")
     parser.add_argument("--tripwire", type=float, default=15.0,
                         help="update-tripwire threshold in combined stderrs "
@@ -79,14 +79,20 @@ def main():
     )
 
     epoch_finished = 0
+    ckpt_file = os.path.join(path, "ckpt_van.pkl")
     if args.resume:
-        import pickle
+        if os.path.exists(ckpt_file):
+            import pickle
 
-        with open(os.path.join(path, "ckpt_van.pkl"), "rb") as f:
-            ckpt = pickle.load(f)
-        params, epoch_finished = ckpt["params_van"], ckpt["epoch"]
-        key = jax.random.fold_in(key, epoch_finished)
-        print("resuming from epoch %d" % epoch_finished)
+            with open(ckpt_file, "rb") as f:
+                ckpt = pickle.load(f)
+            params, epoch_finished = ckpt["params_van"], ckpt["epoch"]
+            key = jax.random.fold_in(key, epoch_finished)
+            print("resuming from epoch %d" % epoch_finished)
+        else:
+            # queue-friendly: the first run of a gated, re-entrant chip job
+            # passes --resume unconditionally; start fresh instead of dying
+            print("no checkpoint at %s; starting fresh" % ckpt_file)
 
     params = pretrain(
         cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,

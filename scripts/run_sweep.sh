@@ -13,6 +13,10 @@
 set -e
 cd "$(dirname "$0")/.."
 EPOCHS=${1:-3000}
+# SR solver override (round 4: the tunnel D2H link can be slow enough that
+# host64's per-epoch Fisher pull dominates; chol = on-device f32 guarded
+# Cholesky + refinement, validated vs host64 physics on the n=49 resume)
+SR_SOLVER=${SR_SOLVER:-host64}
 shift || true
 RS_LIST=${@:-"1.0 3.0 5.0"}
 for rs in $RS_LIST; do
@@ -39,7 +43,7 @@ for rs in $RS_LIST; do
     python main.py --n 29 --rs "$rs" --Theta 0.15 --Emax 25 \
         --batch 2048 --acc_steps 4 --epoch "$EPOCHS" \
         --epoch_finished "$finished" \
-        --sr --hutchinson --sr_solver host64 --tripwire_sigma 6 \
+        --sr --hutchinson --sr_solver "$SR_SOLVER" --tripwire_sigma 6 \
         --folder data/interacting/
 done
 python -m coulombgas_tpu.analysis.plot data/interacting --S0 --out data/interacting/sweep_S_over_S0.png

@@ -181,3 +181,61 @@ def test_sr_solve_scaling_refinement_restores_f64_accuracy():
     got = _solve_scaled(*f32_args, damping=1e-3, max_norm=1e-3, jacobi=True, refine=2)
     rel = float(jnp.linalg.norm(got.astype(jnp.float64) - want) / jnp.linalg.norm(want))
     assert rel < 1e-4, rel
+
+
+def test_sr_solve_chol_matches_f64():
+    """Guarded-Cholesky solver ('chol'): same accuracy bar as LU-refined.
+
+    The chol path exists because LU's pivot machinery crashed the XLA TPU
+    compiler at production P (data/parity_n49_refined.log); it must match
+    the f64 solution on the same Fisher-like spread as the LU-refined test.
+    """
+    P = 512
+    key = jax.random.PRNGKey(8)
+    q, _ = jnp.linalg.qr(jax.random.normal(key, (P, P), jnp.float64))
+    eigs = 10.0 ** jnp.linspace(-2, 1, P)
+    A = (q * eigs) @ q.T
+    d = 10.0 ** jnp.linspace(-3, 3, P)
+    fisher64 = A * d[:, None] * d[None, :]
+    grad64 = jax.random.normal(jax.random.PRNGKey(9), (P,), jnp.float64) * 1e-3
+    want = _solve_scaled(fisher64, grad64, damping=1e-3, max_norm=1e-3)
+
+    f32_args = (fisher64.astype(jnp.float32), grad64.astype(jnp.float32))
+    got = _solve_scaled(*f32_args, damping=1e-3, max_norm=1e-3,
+                        jacobi=True, refine=2, chol=True)
+    rel = float(jnp.linalg.norm(got.astype(jnp.float64) - want) / jnp.linalg.norm(want))
+    assert rel < 1e-4, rel
+
+
+def test_sr_solve_chol_indefinite_boosts_damping():
+    """Indefinite centered-Fisher input: the chol path must produce a FINITE
+    step (boosted-damping refactorization), never NaN parameters."""
+    P = 64
+    key = jax.random.PRNGKey(4)
+    q, _ = jnp.linalg.qr(jax.random.normal(key, (P, P), jnp.float32))
+    eigs = jnp.concatenate([jnp.full((P - 2,), 1e-2), jnp.array([-2e-3, -1e-3])])
+    fisher = (q * eigs) @ q.T  # indefinite even after 1e-3 damping
+    grad = jax.random.normal(jax.random.PRNGKey(5), (P,), jnp.float32)
+    u = _solve_scaled(fisher, grad, damping=1e-3, max_norm=1e-3,
+                      jacobi=True, refine=2, chol=True)
+    assert bool(jnp.all(jnp.isfinite(u)))
+    # -2e-3 min eigenvalue + 1e-3 + 32e-3 boost -> SPD: the step should be
+    # nonzero (the boost rescues the factorization rather than zeroing).
+    assert float(jnp.linalg.norm(u)) > 0.0
+
+
+def test_sr_solve_chol_under_jit():
+    """The guarded double-factorization must be jittable (lax-free where)."""
+    P = 128
+    scores = jax.random.normal(jax.random.PRNGKey(6), (1024, P), jnp.float32)
+    fisher = scores.T @ scores / 1024
+    grad = jax.random.normal(jax.random.PRNGKey(7), (P,), jnp.float32) * 1e-3
+    f = jax.jit(lambda F, g: _solve_scaled(F, g, damping=1e-3, max_norm=1e-3,
+                                           jacobi=True, refine=2, chol=True))
+    u = f(fisher, grad)
+    u_ref = _solve_scaled(fisher.astype(jnp.float64), grad.astype(jnp.float64),
+                          damping=1e-3, max_norm=1e-3)
+    rel = float(jnp.linalg.norm(u.astype(jnp.float64) - u_ref)
+                / jnp.linalg.norm(u_ref))
+    assert bool(jnp.all(jnp.isfinite(u)))
+    assert rel < 1e-3, rel
