@@ -232,11 +232,24 @@ def bench_config(cfg, iters=5, warmup=2):
     except Exception:
         pass
     try:
-        # Production (host64) apply step: the parity results at n >= 29 were
-        # produced with --sr_solver host64, whose cost is device->host pull +
-        # f64 LAPACK + update push (optim/host_sr.py) — measure it so the
-        # configuration that achieves the physics has a published step time.
+        # Alternative (host64) apply step: the round-2/3 parity results at
+        # n >= 29 were produced with --sr_solver host64 (device->host Fisher
+        # pull + f64 LAPACK + update push, optim/host_sr.py).  Round 4 made
+        # the on-device guarded-Cholesky solver the production default (it is
+        # what the headline apply phase above measures), but host64 remains a
+        # supported mode — measure it ONLY when the tunnel link can afford it
+        # (round 4 measured 0.63 MB/s, at which the n49 Fisher pull alone is
+        # ~2 minutes and the bench risks the driver's timeout).
         import jax.numpy as jnp
+
+        _probe = jnp.zeros((1 << 19,), jnp.float32) + 1.0  # 2 MiB
+        jax.block_until_ready(_probe)
+        _t = time.perf_counter()
+        _ = jax.device_get(_probe)
+        d2h_mb_s = 2.0 / max(time.perf_counter() - _t, 1e-9)
+        extras["d2h_MB_per_s"] = round(d2h_mb_s, 2)
+        if d2h_mb_s < 5.0:
+            raise RuntimeError("link too slow for the host64 extra")
         import optax
         from jax.flatten_util import ravel_pytree
 

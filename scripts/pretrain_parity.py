@@ -31,6 +31,13 @@ def main():
     parser.add_argument("--clip", type=float, default=None,
                         help="TV clip factor for the REINFORCE weights "
                         "(off by default = reference semantics)")
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--damping", type=float, default=1e-3)
+    parser.add_argument("--max_norm", type=float, default=1e-3,
+                        help="SR trust-region radius; the convergence floor "
+                        "of the f32 stochastic geometry scales with it, so "
+                        "shrinking it near convergence is the standard way "
+                        "to trade pace for a lower tail bias")
     parser.add_argument("--solver", choices=["plain", "refined", "chol", "host64"], default="plain",
                         help="SR dense-solve numerics (host64 = f64 LAPACK on host)")
     parser.add_argument("--tripwire", type=float, default=15.0,
@@ -39,6 +46,11 @@ def main():
     parser.add_argument("--ckpt_every", type=int, default=50,
                         help="save params_van to ckpt_van.pkl every this many "
                         "epochs (0 disables)")
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="seed the VAN parameters from an existing "
+                        "ckpt_van.pkl while logging into this config's own "
+                        "(fresh) folder — for controlled optimizer-tail "
+                        "experiments resumed from a converged run")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the run directory's ckpt_van.pkl")
     args = parser.parse_args()
@@ -69,6 +81,9 @@ def main():
     path = os.path.join(args.folder, f"n_{args.n}_Emax_{args.Emax}_batch_{args.batch}"
                         + (f"_seed_{args.seed}" if args.seed != 42 else "")
                         + (f"_clip_{args.clip:g}" if args.clip is not None else "")
+                        + (f"_lr_{args.lr:g}" if args.lr != 1e-3 else "")
+                        + (f"_damping_{args.damping:g}" if args.damping != 1e-3 else "")
+                        + (f"_maxnorm_{args.max_norm:g}" if args.max_norm != 1e-3 else "")
                         + (f"_{args.solver}" if args.solver != "plain" else ""))
     os.makedirs(path, exist_ok=True)
 
@@ -80,6 +95,18 @@ def main():
 
     epoch_finished = 0
     ckpt_file = os.path.join(path, "ckpt_van.pkl")
+    if args.init_from and not (args.resume and os.path.exists(ckpt_file)):
+        # controlled-experiment seed: params only; the epoch counter starts
+        # at 0 in the fresh folder (a later --resume of THIS folder wins)
+        import pickle
+
+        with open(args.init_from, "rb") as f:
+            ckpt = pickle.load(f)
+        params = ckpt["params_van"] if isinstance(ckpt, dict) else ckpt
+        key = jax.random.fold_in(key, hash(args.init_from) % (1 << 30))
+        print("seeded params from %s (epoch %s)"
+              % (args.init_from,
+                 ckpt.get("epoch", "?") if isinstance(ckpt, dict) else "?"))
     if args.resume:
         if os.path.exists(ckpt_file):
             import pickle
@@ -96,7 +123,8 @@ def main():
 
     params = pretrain(
         cfg, params, args.n, args.dim, args.Theta, args.Emax, twist,
-        path, key, lr=1e-3, sr=True, damping=1e-3, max_norm=1e-3,
+        path, key, lr=args.lr, sr=True, damping=args.damping,
+        max_norm=args.max_norm,
         batch=args.batch, epoch=args.epoch, dps=args.dps,
         log_every=args.log_every, clip_factor=args.clip,
         solver=args.solver, tripwire_sigma=args.tripwire,
