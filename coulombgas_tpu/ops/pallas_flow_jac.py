@@ -514,6 +514,17 @@ MAX_FLOW_N_LARGE = 57
 # Exactly equal (to roundoff) to ferminet_apply_and_jac_d2; differentially
 # tested in tests/test_flow_jac_pallas.py.  Depth-2 flows only (the
 # reference's only production configuration, /root/reference/run/submit.py).
+#
+# HARDWARE STATUS (round-4 chip probe, scripts/repro_d2_gather.py): at n=13
+# both kernels compile and match the XLA oracle (4.8e-7 / 4.4e-11 / 8.7e-11);
+# at n=57 Mosaic's register allocator OOMs VMEM with ~340 MB of spill slots.
+# Cause: the Python-level schunk/cchunk/lchunk streaming loops fully unroll,
+# so every ~27 MB (n, n, dim, chunk, 128) transient is live simultaneously —
+# the "streaming" exists in the source, not in the lowering.  PARKED,
+# measured-negative at n >= 49 (PERF.md round-4).  The fix, if revisited, is
+# structural: move the chunk axes into the pallas grid as accumulating
+# ("arbitrary") reduction dimensions so each grid step's live set is one
+# chunk — the flow_u_jac_pallas_large two-kernel pattern above.
 # ---------------------------------------------------------------------------
 
 
@@ -767,8 +778,12 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
         lap_ref[:] = lap
 
 
-# VMEM peak is dominated by the layer-0 pair blocks plus ONE streamed
-# (n, n, dim, cchunk, LANES) transient: ~62 MB at n=57 with cchunk=8.
+# Paper VMEM model: layer-0 pair blocks plus ONE streamed
+# (n, n, dim, cchunk, LANES) transient, ~62 MB at n=57 with cchunk=8.  The
+# lowering does NOT realize that model — the unrolled chunk loops keep every
+# transient live and Mosaic spills ~340 MB at n=57 (see HARDWARE STATUS
+# above).  Cap kept at 57 so the interpret-mode tests pin correctness at the
+# production shape; on hardware the practical ceiling is n <= 13.
 MAX_FLOW_N_D2 = 57
 
 

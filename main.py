@@ -76,13 +76,16 @@ def parse_args(argv=None):
                              "measured-faster default (see PERF.md)")
     parser.add_argument("--mc_d2_kernel", action="store_true",
                         help="use the single-kernel depth-2 structured-closure "
-                             "Pallas flow fwd+jac in the MCMC logp (any n <= 57; "
-                             "opt-in until the chip A/B flips the default)")
+                             "Pallas flow fwd+jac in the MCMC logp (opt-in; "
+                             "chip-validated at n <= 13, measured-negative at "
+                             "n >= 49: Mosaic register-spill VMEM OOM — "
+                             "PERF.md round-4)")
     parser.add_argument("--acc_d2_kernel", action="store_true",
                         help="serve the accumulate phase's primal flow "
                              "fwd+jac+laplacian from the batched Pallas d2 "
-                             "kernel (depth-2, n <= 57, analytic laplacian "
-                             "path only; opt-in until the chip A/B flips it)")
+                             "kernel (depth-2, analytic laplacian path only; "
+                             "opt-in; chip-validated at n <= 13, "
+                             "measured-negative at n >= 49 — PERF.md round-4)")
 
     # optimizer
     parser.add_argument("--lr", type=float, default=1e-3)
