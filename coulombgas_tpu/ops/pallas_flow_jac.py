@@ -787,6 +787,351 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
 MAX_FLOW_N_D2 = 57
 
 
+# ---------------------------------------------------------------------------
+# Grid-accumulation rewrite of the d2 fwd+jac path (round 4).
+#
+# Same closure, same math, different lowering: each streamed chunk axis of
+# the mono-kernel above becomes a Pallas GRID dimension with "arbitrary"
+# (sequential) semantics, so the live set of any grid step is ONE chunk's
+# transients plus the recomputed layer-0 features — the sequential-loop
+# semantics the mono-kernel's unrolled Python loops only pretended to have.
+# The (n, n, ...)-sized pair tensors are recomputed from x inside every
+# step (cheap VPU trig, ~1.7M elements) and never reach HBM; per MCMC sweep
+# the HBM traffic stays x in, (u, J) out, exactly like the mono-kernel's
+# paper budget.  Small (n, S, B)-sized intermediates (pre0, tp1m, G, D and
+# the per-coordinate row matrices K/N/R/M) pass between kernels through HBM
+# and are assembled in plain XLA — they are KB-scale per walker.
+#
+#   P_tp: grid (batch, C1/cc)  -> tp1m chunks; emits pre0 on step 0
+#   P_G:  grid (batch, S/sc)   -> SP chunks;   emits sumAW0 on step 0
+#   XLA:  sig0/sp1, D, G, final sp layer, u, and K/N/R/M per coordinate
+#   P_J:  grid (batch, jsteps) -> J5 accumulated across steps: the A1 pair
+#         term per c-chunk, the G.R mean term + D.M/SumA1.N diagonal per
+#         s-chunk, and the layer-0 A0.K pair term on step 0
+#
+# Worst-step VMEM at n=57 (f32, 128 lanes): features ~18 MB + A-blocks
+# ~17 MB + one cc=2 A1 chain ~20 MB + one sc=4 G.R transient ~13 MB + the
+# step-0 A0.K transient ~13 MB + the resident (n, n, dim, dim, 128) output
+# ~7 MB  ==>  ~90 MB, against the ~340 MB the mono-kernel spilled.
+# ---------------------------------------------------------------------------
+
+
+def _d2_features(x, eye4, eyed5, L, need_A):
+    """Layer-0 pair feature blocks (and their x_i-derivative blocks).
+
+    Recomputed inside every grid step from the (n, dim, LANES) x block —
+    identical math to the mono-kernel lines above.
+    """
+    off4 = 1.0 - eye4
+    rij = x[:, None] - x[None, :]                   # (n, n, dim, LANES)
+    k2, k1 = 2 * jnp.pi / L, jnp.pi / L
+    c2, s2 = jnp.cos(k2 * rij), jnp.sin(k2 * rij)
+    s1 = jnp.sin(k1 * rij)
+    dij = jnp.sqrt(((s1 + eye4) ** 2).sum(axis=2, keepdims=True)) * off4
+    tp_blocks = [c2, s2, dij]
+    if not need_A:
+        return tp_blocks, None
+    safe_d = jnp.where(dij > 0, dij, 1.0)
+    c1 = jnp.cos(k1 * rij)
+    g_cos = -k2 * s2[:, :, None, :, :] * eyed5
+    g_sin = k2 * c2[:, :, None, :, :] * eyed5
+    v5 = (k1 * s1 * c1 / safe_d)[:, :, None, :, :]
+    g_d = (v5 * eyed5).sum(axis=3, keepdims=True)
+    off5 = (1.0 - eye4)[:, :, :, None, :]           # (n, n, 1, 1, 1) off-diag
+    return tp_blocks, [g_cos * off5, g_sin * off5, g_d * off5]
+
+
+def _d2_tp_kernel(x_ref, eye4_ref, w30T_ref, b0_ref, wtc_ref, btc_ref,
+                  tp1m_ref, pre0_ref, *, n, dim, L, lanes):
+    """One c-chunk of the tp pass-1 means; step 0 also emits pre0."""
+    c = pl.program_id(1)
+    tp_blocks, _ = _d2_features(x_ref[:], eye4_ref[:], None, L, need_A=False)
+    pre_c = _contract_blocks(tp_blocks, wtc_ref[0]) + btc_ref[0]
+    tp1m_ref[:] = _softplus(pre_c).mean(axis=1)     # (n, cc, LANES)
+
+    @pl.when(c == 0)
+    def _():
+        tpm = [b.mean(axis=1) for b in tp_blocks]   # (n, c_k, LANES)
+        pre0_ref[:] = _contract_blocks(tpm, w30T_ref[:]) + b0_ref[:]
+
+
+def _d2_G_kernel(x_ref, eye4_ref, eyed5_ref, w30s_ref, w30T_ref,
+                 sig0_ref, sp_ref, sumAW0_ref, *, n, dim, L, lanes):
+    """One s-chunk of SP_l = -(1/n) sum_i sig0_i (A0 W3_0)_il; step 0 also
+    emits sumAW0 = (sum_l A0_il) W3_0 for the diagonal D."""
+    s = pl.program_id(1)
+    _, A_blocks = _d2_features(x_ref[:], eye4_ref[:], eyed5_ref[:], L, True)
+    AW0_c = _contract_blocks(A_blocks, w30s_ref[0])  # (n, n, dim, sc, LANES)
+    sig0_c = sig0_ref[:]                             # (n, sc, LANES)
+    sp_ref[:] = -(sig0_c[:, None, None] * AW0_c).sum(axis=0) / n
+
+    @pl.when(s == 0)
+    def _():
+        sumA0 = [a.sum(axis=1) for a in A_blocks]    # (n, dim, c_k, LANES)
+        sumAW0_ref[:] = _contract_blocks(sumA0, w30T_ref[:])
+
+
+def _d2_J_kernel(x_ref, eye4_ref, eyed5_ref, wtc_ref, btc_ref,
+                 K_ref, N_ref, R_ref, M_ref, G_ref, D_ref,
+                 j_ref, diag_ref, *, n, dim, L, lanes, s_steps, c_steps):
+    """One accumulation step of the Jacobian assembly (see section header)."""
+    j = pl.program_id(1)
+    dtype = x_ref.dtype
+    eyed5 = eyed5_ref[:]                             # (1, 1, dim, dim, 1)
+    tp_blocks, A_blocks = _d2_features(
+        x_ref[:], eye4_ref[:], eyed5, L, need_A=True)
+    one = jnp.ones((), dtype)
+    cmask = jnp.where(j < c_steps, one, 0.0)
+    smask = jnp.where(j < s_steps, one, 0.0)
+    zmask = jnp.where(j == 0, one, 0.0)
+
+    jacc = jnp.zeros((n, n, dim, dim, lanes), dtype)
+    dacc = jnp.zeros((n, 1, dim, dim, lanes), dtype)
+
+    # tp pass-2 A1 pair term + its diagonal, one c-chunk (mono lines: the
+    # cchunk loop): A1 = sig_t . (A0 wt); J += A1.N; diag -= SumA1.N
+    pre_c = _contract_blocks(tp_blocks, wtc_ref[0]) + btc_ref[0]
+    sig_c = jax.lax.logistic(pre_c)                  # (n, n, cc, LANES)
+    A1_c = sig_c[:, :, None, :, :] * _contract_blocks(A_blocks, wtc_ref[0])
+    sumA1_c = A1_c.sum(axis=1)                       # (n, dim, cc, LANES)
+    N_c, R_c, M_c = N_ref[:], R_ref[:], M_ref[:]
+    G_c, D_c, K_full = G_ref[:], D_ref[:], K_ref[:]
+    for b in range(dim):
+        onehot = eyed5[:, :, b : b + 1]              # (1, 1, 1, dim, 1)
+        n_b = N_c[b]                                 # (n, cc, LANES)
+        pair1 = (A1_c * n_b[:, None, None]).sum(axis=-2, keepdims=True)
+        jacc = jacc + cmask * pair1 * onehot
+        dg1 = (sumA1_c * n_b[:, None]).sum(axis=-2, keepdims=True)
+        dacc = dacc - cmask * dg1[:, None] * onehot
+
+        # mean term G.R and diagonal D.M, one s-chunk (mono: schunk loop)
+        r_b = R_c[b]                                 # (n, sc, LANES)
+        mean = (G_c[None] * r_b[:, None, None]).sum(axis=-2, keepdims=True)
+        jacc = jacc + smask * mean * onehot
+        m_b = M_c[b]
+        dg0 = (D_c * m_b[:, None]).sum(axis=-2, keepdims=True)
+        dacc = dacc + smask * dg0[:, None] * onehot
+
+        # layer-0 pair term A0.K, once (mono: the A_blocks loop)
+        coff = 0
+        acc0 = jnp.zeros((n, n, dim, 1, lanes), dtype)
+        for blk in A_blocks:
+            ck = blk.shape[-2]
+            k_ch = K_full[b][:, coff : coff + ck, :][:, None, None]
+            acc0 = acc0 + (blk * k_ch).sum(axis=-2, keepdims=True)
+            coff += ck
+        jacc = jacc + zmask * acc0 * onehot
+
+    @pl.when(j == 0)
+    def _():
+        j_ref[:] = jacc
+        diag_ref[:] = dacc
+
+    @pl.when(j > 0)
+    def _():
+        j_ref[:] += jacc
+        diag_ref[:] += dacc
+
+
+def _pick_chunk(total: int, prefer) -> int:
+    for c in prefer:
+        if total % c == 0:
+            return c
+    return 1
+
+
+def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
+    """Multi-kernel grid-accumulation d2 fwd+jac: x (B, n, dim) ->
+    u (n, dim, B), J (nd, nd, B).  Numerics identical to the mono-kernel."""
+    B, n, dim = x.shape
+    nd = n * dim
+    if cfg.depth != 2:  # must survive python -O (wrong-Jacobian risk)
+        raise ValueError("structured d2 kernel requires depth-2 flows, "
+                         "got depth=%d" % cfg.depth)
+    lanes = flow_jac_lanes(n)
+    nblocks = pl.cdiv(B, lanes)
+    padded = nblocks * lanes
+    S, C1 = cfg.spsize, cfg.tpsize
+    C0 = 2 * dim + 1
+    L = float(cfg.L)
+    dtype = x.dtype
+
+    xt = jnp.moveaxis(x, 0, -1)
+    if padded != B:
+        xt = jnp.concatenate(
+            [xt, jnp.broadcast_to(xt[:, :, :1], (n, dim, padded - B))], axis=-1
+        )
+
+    w0 = params["sp"][0]["w"]            # (2*dim + C0, S)
+    w1f = params["sp"][1]["w"]           # (2S + C1, S')
+    wt = params["tp"][0]["w"]            # (C0, C1)
+    wf = params["final"]["w"]            # (S', dim)
+    w30T = w0[2 * dim:].T                # (S, C0)
+    b0 = params["sp"][0]["b"][:, None]   # (S, 1)
+    wtT = wt.T                           # (C1, C0)
+    bt = params["tp"][0]["b"][:, None]   # (C1, 1)
+    b1f = params["sp"][1]["b"][:, None]  # (S', 1)
+    W1, W2, W3 = w1f[:S], w1f[S : 2 * S], w1f[2 * S:]
+    wfT = wf.T                           # (dim, S')
+    bf = params["final"]["b"][:, None]   # (dim, 1)
+
+    eye4 = np.eye(n, dtype=np.float32)[:, :, None, None]
+    eye5 = np.eye(n, dtype=np.float32)[:, :, None, None, None]
+    eyed5 = np.eye(dim, dtype=np.float32)[None, None, :, :, None]
+
+    # chunk schedule: P_G streams s in sc_g-chunks; P_J pairs one sc_j
+    # s-chunk with one cc c-chunk per grid step (worst-step VMEM budget in
+    # the section header)
+    sc_g = _pick_chunk(S, (8, 4, 2))
+    sc_j = _pick_chunk(S, (4, 2))
+    cc = _pick_chunk(C1, (2,))
+    sg_steps, sj_steps, c_steps = S // sc_g, S // sc_j, C1 // cc
+    jsteps = max(sj_steps, c_steps)
+
+    w30s = w30T.reshape(S // sc_g, sc_g, C0)
+    wtc = wtT.reshape(c_steps, cc, C0)
+    btc = bt.reshape(c_steps, cc, 1)
+
+    full = lambda a: pl.BlockSpec(
+        jnp.shape(a), lambda b, s: (0,) * jnp.ndim(a), memory_space=pltpu.VMEM)
+    vm = pltpu.VMEM
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=110 * 1024 * 1024,
+    )
+
+    # ---- P_tp: tp1m (c-chunked) + pre0 (step 0) ---------------------------
+    tp1m, pre0 = pl.pallas_call(
+        functools.partial(_d2_tp_kernel, n=n, dim=dim, L=L, lanes=lanes),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, C1, padded), dtype),
+            jax.ShapeDtypeStruct((n, S, padded), dtype),
+        ),
+        grid=(nblocks, c_steps),
+        in_specs=[
+            pl.BlockSpec((n, dim, lanes), lambda b, c: (0, 0, b), memory_space=vm),
+            full(eye4),
+            full(w30T),
+            full(b0),
+            pl.BlockSpec((1, cc, C0), lambda b, c: (c, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, cc, 1), lambda b, c: (c, 0, 0), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, cc, lanes), lambda b, c: (0, c, b), memory_space=vm),
+            pl.BlockSpec((n, S, lanes), lambda b, c: (0, 0, b), memory_space=vm),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(xt, eye4, w30T, b0, wtc, btc)
+
+    sig0 = jax.lax.logistic(pre0)                    # (n, S, padded)
+    sp1 = jnp.logaddexp(pre0, 0.0)
+
+    # ---- P_G: SP (s-chunked) + sumAW0 (step 0) ----------------------------
+    SP, sumAW0 = pl.pallas_call(
+        functools.partial(_d2_G_kernel, n=n, dim=dim, L=L, lanes=lanes),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, dim, S, padded), dtype),
+            jax.ShapeDtypeStruct((n, dim, S, padded), dtype),
+        ),
+        grid=(nblocks, sg_steps),
+        in_specs=[
+            pl.BlockSpec((n, dim, lanes), lambda b, s: (0, 0, b), memory_space=vm),
+            full(eye4),
+            full(eyed5),
+            pl.BlockSpec((1, sc_g, C0), lambda b, s: (s, 0, 0), memory_space=vm),
+            full(w30T),
+            pl.BlockSpec((n, sc_g, lanes), lambda b, s: (0, s, b), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, dim, sc_g, lanes), lambda b, s: (0, 0, s, b),
+                         memory_space=vm),
+            pl.BlockSpec((n, dim, S, lanes), lambda b, s: (0, 0, 0, b),
+                         memory_space=vm),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(xt, eye4, eyed5, w30s, w30T, sig0)
+
+    D = sig0[:, None, :, :] * sumAW0 / n             # (n, dim, S, padded)
+    G = D + SP
+
+    # ---- XLA head: final sp layer, u, and the per-coordinate row matrices -
+    pre1 = jnp.einsum("nql,sq->nsl", sp1, w1f.T[:, :S])
+    sp1m = jnp.broadcast_to(sp1.mean(axis=0, keepdims=True), sp1.shape)
+    pre1 = pre1 + jnp.einsum("nql,sq->nsl", sp1m, w1f.T[:, S : 2 * S])
+    pre1 = pre1 + jnp.einsum("nql,sq->nsl", tp1m, w1f.T[:, 2 * S:]) + b1f
+    sig1 = jax.lax.logistic(pre1)                    # (n, S', padded)
+    spf = sp1 + jnp.logaddexp(pre1, 0.0)
+    u = xt + jnp.einsum("nql,dq->ndl", spf, wfT) + bf
+
+    Ks, Ns, Rs, Ms = [], [], [], []
+    for b in range(dim):
+        Q_b = sig1 * wf[None, :, b : b + 1]          # (n, S', padded)
+        M_b = wf[None, :, b : b + 1] + jnp.einsum("nql,sq->nsl", Q_b, W1)
+        Ms.append(M_b)
+        Ks.append(-jnp.einsum("nql,cq->ncl", sig0 * M_b, w0[2 * dim:]) / n)
+        Ns.append(-jnp.einsum("nql,cq->ncl", Q_b, W3) / n)
+        Rs.append(jnp.einsum("nql,sq->nsl", Q_b, W2) / n)
+    K = jnp.stack(Ks)                                # (dim, n, C0, padded)
+    N = jnp.stack(Ns)                                # (dim, n, C1, padded)
+    R = jnp.stack(Rs)                                # (dim, n, S, padded)
+    M = jnp.stack(Ms)                                # (dim, n, S, padded)
+
+    # ---- P_J: Jacobian assembly, accumulated over jsteps ------------------
+    sj_cap, c_cap = sj_steps - 1, c_steps - 1
+    j5, diag5 = pl.pallas_call(
+        functools.partial(_d2_J_kernel, n=n, dim=dim, L=L, lanes=lanes,
+                          s_steps=sj_steps, c_steps=c_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, dim, dim, padded), dtype),
+            jax.ShapeDtypeStruct((n, 1, dim, dim, padded), dtype),
+        ),
+        grid=(nblocks, jsteps),
+        in_specs=[
+            pl.BlockSpec((n, dim, lanes), lambda b, s: (0, 0, b), memory_space=vm),
+            full(eye4),
+            full(eyed5),
+            pl.BlockSpec((1, cc, C0),
+                         lambda b, s: (jnp.minimum(s, c_cap), 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, cc, 1),
+                         lambda b, s: (jnp.minimum(s, c_cap), 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((dim, n, C0, lanes), lambda b, s: (0, 0, 0, b),
+                         memory_space=vm),
+            pl.BlockSpec((dim, n, cc, lanes),
+                         lambda b, s: (0, 0, jnp.minimum(s, c_cap), b),
+                         memory_space=vm),
+            pl.BlockSpec((dim, n, sc_j, lanes),
+                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+                         memory_space=vm),
+            pl.BlockSpec((dim, n, sc_j, lanes),
+                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+                         memory_space=vm),
+            pl.BlockSpec((n, dim, sc_j, lanes),
+                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+                         memory_space=vm),
+            pl.BlockSpec((n, dim, sc_j, lanes),
+                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+                         memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, n, dim, dim, lanes), lambda b, s: (0, 0, 0, 0, b),
+                         memory_space=vm),
+            pl.BlockSpec((n, 1, dim, dim, lanes), lambda b, s: (0, 0, 0, 0, b),
+                         memory_space=vm),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(xt, eye4, eyed5, wtc, btc, K, N, R, M, G, D)
+
+    J5 = j5 + jnp.asarray(eye5, dtype) * diag5       # broadcast diag onto i==l
+    J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)
+    J = J + jnp.eye(nd, dtype=dtype)[:, :, None]
+    return u[:, :, :B], J[:, :, :B]
+
+
 def _d2_call(params, cfg: FermiNetConfig, x, interpret: bool, emit_lap: bool):
     B, n, dim = x.shape
     nd = n * dim
@@ -876,12 +1221,16 @@ def _d2_call(params, cfg: FermiNetConfig, x, interpret: bool, emit_lap: bool):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False):
-    """Single-kernel depth-2 flow fwd+jac for n <= MAX_FLOW_N_D2.
+    """Depth-2 flow fwd+jac for n <= MAX_FLOW_N_D2 (grid-accumulation form).
 
     Same contract as ``flow_u_jac_pallas``: x (B, n, dim) -> u (n, dim, B),
     J (nd, nd, B) batch-last for the fused log-det tail.  Depth-2 only.
+    Round 4 replaced the mono-kernel body (register-spill VMEM OOM at n=57,
+    see HARDWARE STATUS above) with the multi-kernel grid-accumulation
+    pipeline ``_d2_grid_call``; the mono-kernel remains behind the
+    emit_lap=True path only.
     """
-    return _d2_call(params, cfg, x, interpret, emit_lap=False)
+    return _d2_grid_call(params, cfg, x, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
