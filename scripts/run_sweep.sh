@@ -36,6 +36,11 @@ for rs in $RS_LIST; do
         if [ -n "$ckpt" ]; then
             finished=$(basename "$ckpt" | sed 's/epoch_0*\([0-9]*\)\.pkl/\1/')
             echo "resuming rs=$rs from epoch $finished"
+            # drop rows logged past the checkpoint we resume from, or the
+            # re-run epochs would be appended twice (ObservableLog appends on
+            # resume) and the epoch column would go non-monotone
+            awk -v e="$finished" 'NF>0 && $1+0<=e' "$dir/data.txt" > "$dir/data.txt.trim" \
+                && mv "$dir/data.txt.trim" "$dir/data.txt"
         else
             finished=0
         fi

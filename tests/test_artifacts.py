@@ -184,7 +184,12 @@ def test_stage2_n29_sweep_tail_vs_reference(rs, Fr, Er, Kr, Vr, Sr, accr,
     if not os.path.isfile(path):
         pytest.skip("sweep row rs=%s not run yet" % rs)
     rows = np.loadtxt(path, ndmin=2)
-    if len(rows) < 2400:
+    # The reference tails above are final-20% windows of 3000-epoch logs, and
+    # both trajectories still drift at epoch 2500 (a full 2500-epoch run of
+    # this framework matched F/accept but sat 6.6e-3/particle high on E in a
+    # like-for-like window) — so the guard only activates once the run has
+    # essentially completed the reference protocol.
+    if len(rows) < 2900:
         pytest.skip("sweep row rs=%s still in progress (%d epochs)" % (rs, len(rows)))
     tail = rows[-len(rows) // 5:]
     n = 29.0
