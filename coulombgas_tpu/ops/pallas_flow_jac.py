@@ -847,7 +847,7 @@ def _d2_tp_kernel(x_ref, eye4_ref, w30T_ref, b0_ref, wtc_ref, btc_ref,
     c = pl.program_id(1)
     tp_blocks, _ = _d2_features(x_ref[:], eye4_ref[:], None, L, need_A=False)
     pre_c = _contract_blocks(tp_blocks, wtc_ref[0]) + btc_ref[0]
-    tp1m_ref[:] = _softplus(pre_c).mean(axis=1)     # (n, cc, LANES)
+    tp1m_ref[0] = _softplus(pre_c).mean(axis=1)     # (n, cc, LANES)
 
     @pl.when(c == 0)
     def _():
@@ -894,8 +894,11 @@ def _d2_J_kernel(x_ref, eye4_ref, eyed5_ref, wtc_ref, btc_ref,
     sig_c = jax.lax.logistic(pre_c)                  # (n, n, cc, LANES)
     A1_c = sig_c[:, :, None, :, :] * _contract_blocks(A_blocks, wtc_ref[0])
     sumA1_c = A1_c.sum(axis=1)                       # (n, dim, cc, LANES)
-    N_c, R_c, M_c = N_ref[:], R_ref[:], M_ref[:]
-    G_c, D_c, K_full = G_ref[:], D_ref[:], K_ref[:]
+    # chunked operands arrive with a leading length-1 step axis (their chunk
+    # axes are pre-split outside the kernel so every block's last two dims
+    # equal the array's own dims — the Mosaic block-shape rule)
+    N_c, R_c, M_c = N_ref[0], R_ref[0], M_ref[0]
+    G_c, D_c, K_full = G_ref[0], D_ref[0], K_ref[:]
     for b in range(dim):
         onehot = eyed5[:, :, b : b + 1]              # (1, 1, 1, dim, 1)
         n_b = N_c[b]                                 # (n, cc, LANES)
@@ -981,8 +984,11 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
 
     # chunk schedule: P_G streams s in sc_g-chunks; P_J pairs one sc_j
     # s-chunk with one cc c-chunk per grid step (worst-step VMEM budget in
-    # the section header)
-    sc_g = _pick_chunk(S, (8, 4, 2))
+    # the section header).  sc_g sits on a block's second-to-last dim, so it
+    # must be a multiple of 8 or the full axis (Mosaic block-shape rule); the
+    # other chunk axes are pre-split into leading grid-step axes below and
+    # are unconstrained.
+    sc_g = 8 if S % 8 == 0 else S
     sc_j = _pick_chunk(S, (4, 2))
     cc = _pick_chunk(C1, (2,))
     sg_steps, sj_steps, c_steps = S // sc_g, S // sc_j, C1 // cc
@@ -1001,10 +1007,13 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
     )
 
     # ---- P_tp: tp1m (c-chunked) + pre0 (step 0) ---------------------------
-    tp1m, pre0 = pl.pallas_call(
+    # tp1m is emitted step-major (c_steps leading) so the block's last two
+    # dims (cc, lanes) equal the array's own dims — Mosaic's block-shape rule
+    # forbids blocking the middle of a trailing-two axis (cc=2 over C1=16).
+    tp1m_s, pre0 = pl.pallas_call(
         functools.partial(_d2_tp_kernel, n=n, dim=dim, L=L, lanes=lanes),
         out_shape=(
-            jax.ShapeDtypeStruct((n, C1, padded), dtype),
+            jax.ShapeDtypeStruct((c_steps, n, cc, padded), dtype),
             jax.ShapeDtypeStruct((n, S, padded), dtype),
         ),
         grid=(nblocks, c_steps),
@@ -1017,12 +1026,14 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
             pl.BlockSpec((1, cc, 1), lambda b, c: (c, 0, 0), memory_space=vm),
         ],
         out_specs=(
-            pl.BlockSpec((n, cc, lanes), lambda b, c: (0, c, b), memory_space=vm),
+            pl.BlockSpec((1, n, cc, lanes), lambda b, c: (c, 0, 0, b),
+                         memory_space=vm),
             pl.BlockSpec((n, S, lanes), lambda b, c: (0, 0, b), memory_space=vm),
         ),
         compiler_params=cparams,
         interpret=interpret,
     )(xt, eye4, w30T, b0, wtc, btc)
+    tp1m = tp1m_s.transpose(1, 0, 2, 3).reshape(n, C1, padded)
 
     sig0 = jax.lax.logistic(pre0)                    # (n, S, padded)
     sp1 = jnp.logaddexp(pre0, 0.0)
@@ -1078,6 +1089,17 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
     R = jnp.stack(Rs)                                # (dim, n, S, padded)
     M = jnp.stack(Ms)                                # (dim, n, S, padded)
 
+    # Pre-split every chunk-streamed operand into a LEADING grid-step axis:
+    # blocking the middle of a trailing-two axis (cc=2 of C1=16, sc_j=4 of
+    # S=16) violates Mosaic's block-shape rule, but with the step axis
+    # leading each block's last two dims equal the array's own dims.  The
+    # kernel sees identical chunk layouts via ref[0].
+    Ns_ = N.reshape(dim, n, c_steps, cc, padded).transpose(2, 0, 1, 3, 4)
+    Rs_ = R.reshape(dim, n, sj_steps, sc_j, padded).transpose(2, 0, 1, 3, 4)
+    Ms_ = M.reshape(dim, n, sj_steps, sc_j, padded).transpose(2, 0, 1, 3, 4)
+    Gs_ = G.reshape(n, dim, sj_steps, sc_j, padded).transpose(2, 0, 1, 3, 4)
+    Ds_ = D.reshape(n, dim, sj_steps, sc_j, padded).transpose(2, 0, 1, 3, 4)
+
     # ---- P_J: Jacobian assembly, accumulated over jsteps ------------------
     sj_cap, c_cap = sj_steps - 1, c_steps - 1
     j5, diag5 = pl.pallas_call(
@@ -1100,20 +1122,20 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
                          memory_space=vm),
             pl.BlockSpec((dim, n, C0, lanes), lambda b, s: (0, 0, 0, b),
                          memory_space=vm),
-            pl.BlockSpec((dim, n, cc, lanes),
-                         lambda b, s: (0, 0, jnp.minimum(s, c_cap), b),
+            pl.BlockSpec((1, dim, n, cc, lanes),
+                         lambda b, s: (jnp.minimum(s, c_cap), 0, 0, 0, b),
                          memory_space=vm),
-            pl.BlockSpec((dim, n, sc_j, lanes),
-                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+            pl.BlockSpec((1, dim, n, sc_j, lanes),
+                         lambda b, s: (jnp.minimum(s, sj_cap), 0, 0, 0, b),
                          memory_space=vm),
-            pl.BlockSpec((dim, n, sc_j, lanes),
-                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+            pl.BlockSpec((1, dim, n, sc_j, lanes),
+                         lambda b, s: (jnp.minimum(s, sj_cap), 0, 0, 0, b),
                          memory_space=vm),
-            pl.BlockSpec((n, dim, sc_j, lanes),
-                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+            pl.BlockSpec((1, n, dim, sc_j, lanes),
+                         lambda b, s: (jnp.minimum(s, sj_cap), 0, 0, 0, b),
                          memory_space=vm),
-            pl.BlockSpec((n, dim, sc_j, lanes),
-                         lambda b, s: (0, 0, jnp.minimum(s, sj_cap), b),
+            pl.BlockSpec((1, n, dim, sc_j, lanes),
+                         lambda b, s: (jnp.minimum(s, sj_cap), 0, 0, 0, b),
                          memory_space=vm),
         ],
         out_specs=(
@@ -1124,7 +1146,7 @@ def _d2_grid_call(params, cfg: FermiNetConfig, x, interpret: bool):
         ),
         compiler_params=cparams,
         interpret=interpret,
-    )(xt, eye4, eyed5, wtc, btc, K, N, R, M, G, D)
+    )(xt, eye4, eyed5, wtc, btc, K, Ns_, Rs_, Ms_, Gs_, Ds_)
 
     J5 = j5 + jnp.asarray(eye5, dtype) * diag5       # broadcast diag onto i==l
     J = J5.transpose(0, 3, 1, 2, 4).reshape(nd, nd, padded)

@@ -102,11 +102,13 @@ def main():
 
         with open(args.init_from, "rb") as f:
             ckpt = pickle.load(f)
-        params = ckpt["params_van"] if isinstance(ckpt, dict) else ckpt
+        # either a full checkpoint dict or a raw params pytree (which is
+        # itself a dict: embed/layers/out/x1hat) — key on the wrapper field
+        wrapped = isinstance(ckpt, dict) and "params_van" in ckpt
+        params = ckpt["params_van"] if wrapped else ckpt
         key = jax.random.fold_in(key, hash(args.init_from) % (1 << 30))
         print("seeded params from %s (epoch %s)"
-              % (args.init_from,
-                 ckpt.get("epoch", "?") if isinstance(ckpt, dict) else "?"))
+              % (args.init_from, ckpt.get("epoch", "?") if wrapped else "?"))
     if args.resume:
         if os.path.exists(ckpt_file):
             import pickle
