@@ -802,6 +802,19 @@ MAX_FLOW_N_D2 = 57
 # the per-coordinate row matrices K/N/R/M) pass between kernels through HBM
 # and are assembled in plain XLA — they are KB-scale per walker.
 #
+# HARDWARE STATUS (round-4 chip probe #2, scripts/probe_d2_grid.py,
+# 2026-08-19): after the block-shape restructure (chunk axes pre-split into
+# leading grid-step axes) n=13 compiles and is EXACT (u 4.8e-7, J 4.4e-11)
+# but runs 6.03 ms vs the XLA carried path's 3.43 ms at batch 1024 — the
+# multi-kernel pipeline's launch + feature-recompute overhead loses at small
+# n, which was never the target.  At n=49/57 the axon remote compile helper
+# hard-crashes (HTTP 500, subprocess exit 1, no Mosaic diagnostic) — the
+# production sizes this rewrite was built for cannot even be compiled on the
+# current toolchain.  PARKED, measured-negative: two kernel generations
+# (mono + grid) both lose or fail on hardware; the XLA carried-state path
+# stays the default at every n.  Interpret-mode tests remain as the
+# correctness pin should a future toolchain make this worth re-probing.
+#
 #   P_tp: grid (batch, C1/cc)  -> tp1m chunks; emits pre0 on step 0
 #   P_G:  grid (batch, S/sc)   -> SP chunks;   emits sumAW0 on step 0
 #   XLA:  sig0/sp1, D, G, final sp layer, u, and K/N/R/M per coordinate
