@@ -13,10 +13,12 @@
 set -e
 cd "$(dirname "$0")/.."
 EPOCHS=${1:-3000}
-# SR solver override (round 4: the tunnel D2H link can be slow enough that
-# host64's per-epoch Fisher pull dominates; chol = on-device f32 guarded
-# Cholesky + refinement, validated vs host64 physics on the n=49 resume)
-SR_SOLVER=${SR_SOLVER:-host64}
+# SR solver (round 4: chol is the default — the tunnel D2H link makes
+# host64's per-epoch Fisher pull dominate, measured 37 vs 3.1 s/epoch on
+# the rs=1.0 resume; chol = on-device f32 guarded Cholesky + refinement,
+# validated vs host64 physics on the n=49 resume and used by every
+# round-4 production run)
+SR_SOLVER=${SR_SOLVER:-chol}
 shift || true
 RS_LIST=${@:-"1.0 3.0 5.0"}
 for rs in $RS_LIST; do
