@@ -785,6 +785,13 @@ def _d2_kernel(x_ref, eye4_ref, eye5_ref, eyed5_ref,
 # above).  Cap kept at 57 so the interpret-mode tests pin correctness at the
 # production shape; on hardware the practical ceiling is n <= 13.
 MAX_FLOW_N_D2 = 57
+# Chip-validated ceiling for the COMPILED d2 kernels: n=13 ran exact on
+# hardware; n >= 49 hard-crashes the remote compile helper (mono-kernel:
+# Mosaic register-spill VMEM OOM; grid form: toolchain crash — PERF.md
+# round 4).  The non-interpret entry points below refuse n above this so an
+# opt-in user gets a clear error instead of an opaque compiler crash;
+# interpret mode keeps the full MAX_FLOW_N_D2 for correctness tests.
+MAX_FLOW_N_D2_HW = 13
 
 
 # ---------------------------------------------------------------------------
@@ -1265,7 +1272,18 @@ def flow_u_jac_pallas_d2(params, cfg: FermiNetConfig, x, interpret: bool = False
     pipeline ``_d2_grid_call``; the mono-kernel remains behind the
     emit_lap=True path only.
     """
+    _check_d2_hw_ceiling(x.shape[-2], interpret)
     return _d2_grid_call(params, cfg, x, interpret)
+
+
+def _check_d2_hw_ceiling(n, interpret):
+    if not interpret and n > MAX_FLOW_N_D2_HW:
+        raise ValueError(
+            "compiled d2 Pallas flow kernel is chip-validated only for "
+            "n <= %d (n = %d crashes the TPU toolchain: Mosaic VMEM spill / "
+            "compile-helper crash, PERF.md round 4); use the XLA carried-"
+            "state path (--flow_jac carried / omit --mc_d2_kernel), or "
+            "interpret=True for correctness tests" % (MAX_FLOW_N_D2_HW, n))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -1283,4 +1301,5 @@ def flow_u_jac_lap_pallas_d2(params, cfg: FermiNetConfig, x,
     reference computes this with nested jvp fan-outs per walker
     (src/logpsi.py:86-134).
     """
+    _check_d2_hw_ceiling(x.shape[-2], interpret)
     return _d2_call(params, cfg, x, interpret, emit_lap=True)

@@ -25,7 +25,7 @@ import numpy as np
 import scipy.linalg as sla
 
 __all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host",
-           "sym_pack", "sym_unpack"]
+           "sym_pack", "sym_unpack", "HostFisherCache"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -94,6 +94,84 @@ def host_solve_scaled(fisher, grads, damping, max_norm):
         # centered quantum Fisher can be (numerically) indefinite; rebuild
         # the damped matrix — the failed in-place factorization clobbered it
         upd = sla.solve(A + damp, g, check_finite=False)
+    return _scale_step(upd, g, max_norm)
+
+
+class HostFisherCache:
+    """k-epoch stale-Fisher state for ``--sr_solver host64 --fisher_refresh K``.
+
+    The host64 apply's dominant cost on a slow tunnel is the per-epoch
+    device->host pull of the two Fisher matrices (the packed classical block
+    alone is ~68 MB at n=29; measured 37 s/epoch on a bad-link day, ~3 s
+    steady at 25 MB/s).  The Fisher is an 8192-sample Monte-Carlo estimate
+    that changes slowly relative to its own sampling noise, so — exactly as
+    KFAC refreshes its preconditioner every N steps — the metric can be
+    refreshed every K epochs while the gradients, scores and trust-region
+    logic stay per-epoch and all solve math stays f64 on host:
+
+      * refresh epochs: pull both packed Fishers, Cholesky-factor the damped
+        classical block once, keep the raw quantum block;
+      * every epoch: pull only the small leaves (grads, mean scores,
+        observables — ~60 KB), baseline-correct in f64, solve the classical
+        system via the cached factorization, and center the STALE quantum
+        Fisher with the CURRENT mean score (the centering is a per-epoch
+        rank-2 update, so the quantum block — small, P_flow ~ 1e3 — is
+        re-factored each epoch at negligible cost).
+
+    Staleness bias: none at fixed points (an SR step is zero iff the
+    gradient is zero for ANY positive-definite metric); between refreshes
+    the update uses a metric at most K epochs old, well inside the metric's
+    own MC noise for K ~ 16.  K=1 reproduces plain host64 exactly.
+    """
+
+    def __init__(self, damping):
+        self.damping = float(damping)
+        self._c_factor = None   # cho_factor of (classical Fisher + damping I)
+        self._qf = None         # stale UNCENTERED quantum Fisher (f64)
+        self.age = 0            # epochs since the last refresh
+
+    @property
+    def ready(self):
+        return self._c_factor is not None
+
+    def refresh(self, classical_fisher, quantum_fisher):
+        """Install fresh (already acc_steps-normalized, f64) Fisher blocks."""
+        cf = np.asarray(classical_fisher, np.float64)
+        cf = cf + self.damping * np.eye(cf.shape[0])
+        # factor in place: cf is a local temporary
+        self._c_factor = sla.cho_factor(cf, check_finite=False, overwrite_a=True)
+        self._qf = np.asarray(quantum_fisher, np.float64)
+        self.age = 0
+
+    def solve_classical(self, grads, max_norm):
+        """f64 solve via the cached factorization + trust-region scaling."""
+        g = np.asarray(grads, np.float64)
+        upd = sla.cho_solve(self._c_factor, g, check_finite=False)
+        return _scale_step(upd, g, max_norm)
+
+    def solve_quantum(self, grads, qsm, max_norm):
+        """Center the stale quantum Fisher with the CURRENT mean score, solve.
+
+        Identical math to the direct path (host_hybrid_apply) with the
+        Fisher's second-moment term frozen at the last refresh.
+        """
+        qf = self._qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
+        qf += self.damping * np.eye(qf.shape[0])
+        g = np.asarray(grads, np.float64)
+        try:
+            c = sla.cho_factor(qf, check_finite=False, overwrite_a=True)
+            upd = sla.cho_solve(c, g, check_finite=False)
+        except Exception:
+            # centered quantum Fisher can be (numerically) indefinite;
+            # rebuild — the failed in-place factorization clobbered qf
+            qf = self._qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
+            upd = sla.solve(qf + self.damping * np.eye(qf.shape[0]), g,
+                            check_finite=False)
+        return _scale_step(upd, g, max_norm)
+
+
+def _scale_step(upd, g, max_norm):
+    """Shared trust-region scaling + zero-step guard (see host_solve_scaled)."""
     gnorm = float(g @ upd)
     if not np.isfinite(gnorm) or gnorm <= 0.0:
         return np.zeros_like(upd), {"gnorm": gnorm, "scale": 0.0}
@@ -103,8 +181,14 @@ def host_solve_scaled(fisher, grads, damping, max_norm):
     return upd, {"gnorm": gnorm, "scale": scale}
 
 
-def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
+def host_hybrid_apply(acc_host, acc_steps, damping, max_norm, cache=None):
     """Full hybrid-SR apply math in f64 from the host copy of the accumulators.
+
+    With ``cache`` (a :class:`HostFisherCache`), the Fisher blocks come from
+    the cache instead of ``acc_host``; if ``acc_host`` carries
+    'classical_fisher'/'quantum_fisher' entries the cache is refreshed from
+    them first (this is a refresh epoch).  Everything else — baseline
+    correction, trust-region scaling, diagnostics — is identical.
 
     ``acc_host``: pytree with the same structure train.init_accumulators
     builds ('data', 'grads', 'classical_score', 'quantum_score',
@@ -131,6 +215,25 @@ def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
     grad_van = grad_van - data["F_mean"] * score_van
     grad_flow = grad_flow - data["E_mean"] * score_flow
 
+    qsm2 = np.asarray(acc_host["quantum_score_mean"], np.float64) / acc_steps
+    qsm = qsm2[0] + 1j * qsm2[1]
+
+    if cache is not None:
+        if "classical_fisher" in acc_host:  # refresh epoch
+            cf = np.asarray(acc_host["classical_fisher"], np.float64)
+            qf = np.asarray(acc_host["quantum_fisher"], np.float64)
+            cache.refresh(
+                (sym_unpack(cf) if cf.ndim == 1 else cf) / acc_steps,
+                (sym_unpack(qf) if qf.ndim == 1 else qf) / acc_steps,
+            )
+        else:
+            cache.age += 1
+        upd_van, diag_van = cache.solve_classical(grad_van, max_norm)
+        upd_flow, diag_flow = cache.solve_quantum(grad_flow, qsm, max_norm)
+        diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
+                "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}
+        return upd_van, upd_flow, data, diag
+
     # ---- classical block: fetch, unpack, solve (quantum Fisher in flight) --
     cf = np.asarray(acc_host["classical_fisher"], np.float64)
     if cf.ndim == 1:  # packed upper triangle (sym_pack on device)
@@ -144,8 +247,6 @@ def host_hybrid_apply(acc_host, acc_steps, damping, max_norm):
     if qf.ndim == 1:
         qf = sym_unpack(qf)
     qf = qf / acc_steps
-    qsm2 = np.asarray(acc_host["quantum_score_mean"], np.float64) / acc_steps
-    qsm = qsm2[0] + 1j * qsm2[1]
     # Center the quantum Fisher: subtract the mean-score outer product.
     qf = qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
     upd_flow, diag_flow = host_solve_scaled(qf, grad_flow, damping, max_norm)

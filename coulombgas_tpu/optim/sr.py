@@ -59,6 +59,18 @@ def _solve_scaled(fisher, grads_raveled, damping, max_norm, refine: int = 0,
     enable (round-1 instabilities attributed to "accurate solves" were
     garbage steps taken through the gnorm<=0 path).
 
+    ACCURACY DOMAIN (round-5 forensics, scripts/probe_chol_leak.py +
+    data/failed_r5_chol_extension/README.md): every f32 variant here is
+    sound only while the damped system's condition number stays below
+    ~1/eps_f32 ~ 1e7.  The n=29 production Fisher blocks have
+    lambda_max/damping ~ 6e8, where the f32 Cholesky fails and the ``bad``
+    fallback below silently boosts damping 33x — an over-damped natural
+    gradient that leaks entropy at flat F.  For production SR at
+    damping=1e-3 use ``--sr_solver host64`` (optionally with
+    ``--fisher_refresh K`` to amortize the device->host Fisher pull); the
+    on-device variants remain for small/well-conditioned problems and for
+    backends without a host link.
+
     ``with_diag`` also returns {"gnorm", "scale"} so the driver can log when
     the guard fires.
     """

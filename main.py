@@ -99,6 +99,12 @@ def parse_args(argv=None):
                              "LU (avoids the XLA-TPU LU crash at production P, stays on "
                              "device); 'host64' pulls the Fisher matrices to the host "
                              "each apply step and solves in float64 (LAPACK)")
+    parser.add_argument("--fisher_refresh", type=int, default=1,
+                        help="host64 only: refresh the host-side Fisher blocks every K "
+                             "epochs (KFAC-style stale preconditioner) instead of pulling "
+                             "the O(P^2) matrices over the device->host link every epoch; "
+                             "gradients, mean scores and trust-region logic stay per-epoch "
+                             "and all solve math stays f64.  1 = plain host64")
     parser.add_argument("--tripwire_sigma", type=float, default=15.0,
                         help="revert an update when F jumps upward by more than this many "
                              "combined standard errors in one epoch (0 disables); guards "
@@ -318,7 +324,12 @@ def main(argv=None):
     # ---- run directory / checkpoint ----------------------------------------
     path = os.path.join(
         args.folder,
-        "n_%d_dim_%d_rs_%.1f_Theta_%.2f" % (n, dim, args.rs, args.Theta)
+        # rs uses repr-style float formatting, NOT %.1f: the reference's
+        # production run dirs are named rs_0.25 / rs_0.5 / rs_1.0 / rs_10.0
+        # (/root/reference/data/), i.e. str(float) — %.1f would mangle
+        # rs=0.25 into "0.2" and break byte-compatibility with its analysis
+        # tooling.  Identical output for every 1-decimal value.
+        "n_%d_dim_%d_rs_%s_Theta_%.2f" % (n, dim, float(args.rs), args.Theta)
         + "_Emax_%d" % args.Emax
         + ("_twist" + "_%.3f" * dim) % tuple(twist)
         + "_nlayers_%d_modelsize_%d_nheads_%d_nhidden_%d" % (
@@ -453,7 +464,12 @@ def main(argv=None):
     # ---- host64 apply path ---------------------------------------------------
     use_host64 = args.sr and args.sr_solver == "host64"
     if use_host64:
-        from coulombgas_tpu.optim.host_sr import host_hybrid_apply, sym_pack
+        from coulombgas_tpu.optim.host_sr import (
+            HostFisherCache, host_hybrid_apply, sym_pack,
+        )
+
+        fisher_cache = (HostFisherCache(args.damping)
+                        if args.fisher_refresh > 1 else None)
 
         _, unravel_van = ravel_pytree(to_host(params_van))
         _, unravel_flow = ravel_pytree(to_host(params_flow))
@@ -475,7 +491,7 @@ def main(argv=None):
                 quantum_fisher=sym_pack(acc["quantum_fisher"]),
             )
 
-        def host64_apply_step(acc, trust_scale):
+        def host64_apply_step(acc, trust_scale, refresh=True):
             """Host-f64 solve, multi-process safe.
 
             Every process pulls the (replicated) accumulators and could solve
@@ -485,26 +501,47 @@ def main(argv=None):
             on all processes.  The update vectors are committed back onto the
             mesh with the replicated sharding (parallel.mesh.replicate handles
             the multi-process make_array_from_callback path).
+
+            With ``--fisher_refresh K`` > 1, only refresh epochs ship the
+            O(P^2) Fisher blocks over the link; the others pull just the
+            small per-epoch leaves and solve against the cached f64
+            factorization (optim/host_sr.HostFisherCache).
             """
-            packed = pack_acc_jit(acc)
+            stale = fisher_cache is not None and fisher_cache.ready and not refresh
+            if stale:
+                packed = {k: acc[k] for k in acc
+                          if k not in ("classical_fisher", "quantum_fisher")}
+            else:
+                packed = pack_acc_jit(acc)
             # Start every device->host copy now, classical Fisher first and
             # quantum Fisher last: host_hybrid_apply fetches in that order,
             # so the quantum block streams over the link (DMA) while LAPACK
             # factors the classical block — on this tunnel that overlap hides
             # most of one Fisher transfer per epoch (optim/host_sr.py).
             try:
-                packed["classical_fisher"].copy_to_host_async()
+                if "classical_fisher" in packed:
+                    packed["classical_fisher"].copy_to_host_async()
                 for k in sorted(packed):
                     if k not in ("classical_fisher", "quantum_fisher"):
                         for leaf in jax.tree.leaves(packed[k]):
                             leaf.copy_to_host_async()
-                packed["quantum_fisher"].copy_to_host_async()
+                if "quantum_fisher" in packed:
+                    packed["quantum_fisher"].copy_to_host_async()
             except Exception:
                 pass  # backends without async D2H: plain blocking fetches
             uv, uf, d, diag = host_hybrid_apply(
                 packed, args.acc_steps, args.damping,
-                args.max_norm * trust_scale,
+                args.max_norm * trust_scale, cache=fisher_cache,
             )
+            if stale and (diag["scale_van"] == 0.0 or diag["scale_flow"] == 0.0):
+                # a zero step against the cached metric means the STALE
+                # Fisher went indefinite along the current gradient (fast-
+                # moving early-training metric) — refetch and retry in the
+                # same epoch rather than wasting it on a null update
+                uv, uf, d, diag = host_hybrid_apply(
+                    pack_acc_jit(acc), args.acc_steps, args.damping,
+                    args.max_norm * trust_scale, cache=fisher_cache,
+                )
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
 
@@ -535,9 +572,14 @@ def main(argv=None):
     # rare catastrophic f32 SR steps appear as a discrete upward F jump many
     # standard errors wide in the NEXT epoch's observables (PARITY.md round-2
     # forensics of the n=29 collapse).  On a jump (or non-finite observables)
-    # revert to the best healthy parameters and continue — the Markov chains
-    # re-thermalize within an epoch; on persistent event bursts the tripwire
-    # shrinks trust_scale, applied below to the host64 trust radius.
+    # revert to the best healthy parameters and continue; on persistent event
+    # bursts the tripwire shrinks trust_scale, applied below to the host64
+    # trust radius.  The snapshot includes the WALKERS and RNG key (round-5
+    # forensics, data/failed_r5_host64_divergence/): a catastrophic step
+    # poisons the Markov chains too, and chains stuck in regions improbable
+    # under the restored parameters take hundreds of epochs to recover.  The
+    # walker snapshot must be a copy — sample_jit donates x, which would
+    # invalidate a held reference one epoch later.
     import math
 
     from coulombgas_tpu.train.tripwire import UpdateTripwire
@@ -545,7 +587,8 @@ def main(argv=None):
     tripwire = UpdateTripwire(sigma=args.tripwire_sigma)
 
     for i in range(args.epoch_finished + 1, args.epoch + 1):
-        tripwire.snapshot((params_van, params_flow, opt_state))
+        tripwire.snapshot((params_van, params_flow, opt_state,
+                           jnp.copy(x), key))
         acc = replicate(init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
         # accumulated on device: a host float() here would sync and serialize
         # the sample/accumulate dispatch pipeline every acc step
@@ -556,7 +599,10 @@ def main(argv=None):
             accept_rate_acc = accept_rate_acc + accept_rate
             acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
         if use_host64:
-            uv_dev, uf_dev, d, diag = host64_apply_step(acc, tripwire.trust_scale)
+            uv_dev, uf_dev, d, diag = host64_apply_step(
+                acc, tripwire.trust_scale,
+                refresh=(i - 1) % args.fisher_refresh == 0,
+            )
             params_van, params_flow = apply_host_jit(
                 params_van, params_flow, uv_dev, uf_dev,
             )
@@ -578,14 +624,21 @@ def main(argv=None):
         F_sig = stderr_from_moments(d["F_mean"], d["F2_mean"], total_batch) \
             if math.isfinite(d["F_mean"]) and math.isfinite(d["F2_mean"]) else float("nan")
         finite = all(math.isfinite(v) for v in d.values())
-        revert_to = tripwire.check(F_raw, F_sig, finite)
+        revert_to = tripwire.check(
+            F_raw, F_sig, finite,
+            accept=accept_rate_acc / args.acc_steps,
+            S=d["S_mean"] if math.isfinite(d["S_mean"]) else None,
+        )
         reverted = revert_to is not None
         if reverted:
-            params_van, params_flow, opt_state = revert_to
-            msg = ("TRIPWIRE epoch %d: %s (F %.6f) — reverted to pre-jump "
-                   "parameters" % (
-                       i, "upward F jump" if finite else "non-finite observables",
-                       F_raw))
+            params_van, params_flow, opt_state, x_snap, key = revert_to
+            # restore a COPY of the snapshot walkers: x is donated into
+            # sample_jit next epoch, and the tripwire may hand out the same
+            # best-healthy snapshot again on a later event
+            x = jnp.copy(x_snap)
+            msg = ("TRIPWIRE epoch %d: %s (F %.6f) — reverted parameters and "
+                   "walkers to the best healthy state" % (
+                       i, tripwire.last_reason, F_raw))
             print(msg)
             if diag_log is not None:
                 diag_log.write("# " + msg + "\n")
@@ -595,6 +648,18 @@ def main(argv=None):
                 # trust_scale argument of the jitted apply)
                 print("TRIPWIRE: trust radius scaled to %g"
                       % (args.max_norm * tripwire.trust_scale))
+        elif tripwire.drift_events and tripwire.drift_events[-1] == \
+                i - args.epoch_finished:
+            # entropy-drift ALARM (no revert target exists along a flat-F
+            # leak): loud operator warning + forensic marker in sr_diag.txt
+            msg = ("TRIPWIRE epoch %d: entropy-drift ALARM — S %.4f has "
+                   "fallen below the established plateau at non-improving F; "
+                   "suspect an over-damped/ill-conditioned SR solve "
+                   "(see data/failed_r5_chol_extension/README.md)"
+                   % (i, d["S_mean"]))
+            print(msg)
+            if diag_log is not None:
+                diag_log.write("# " + msg + "\n")
 
         if diag_log is not None and diag and not reverted:
             diag_log.write("%6d  %.6e  %.4f  %.6e  %.4f\n" % (

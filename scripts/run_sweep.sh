@@ -13,17 +13,24 @@
 set -e
 cd "$(dirname "$0")/.."
 EPOCHS=${1:-3000}
-# SR solver (round 4: chol is the default — the tunnel D2H link makes
-# host64's per-epoch Fisher pull dominate, measured 37 vs 3.1 s/epoch on
-# the rs=1.0 resume; chol = on-device f32 guarded Cholesky + refinement,
-# validated vs host64 physics on the n=49 resume and used by every
-# round-4 production run)
-SR_SOLVER=${SR_SOLVER:-chol}
+# SR solver (round 5: back to host-f64 solves — the round-4 chol default is
+# DEMOTED: its boosted-damping fallback fires on every production step (the
+# damped Fisher's condition number ~6e8 is beyond any f32 factorization), so
+# every update ran at 33x the configured damping, leaking entropy at flat F
+# (data/failed_r5_chol_extension/README.md).  The per-epoch Fisher pull that
+# motivated chol is amortized instead: --fisher_refresh K ships the O(P^2)
+# blocks every K epochs and solves against the cached f64 factorization
+# (KFAC-style stale metric; optim/host_sr.HostFisherCache).
+SR_SOLVER=${SR_SOLVER:-host64}
+FISHER_REFRESH=${FISHER_REFRESH:-16}
 shift || true
 RS_LIST=${@:-"1.0 3.0 5.0"}
 for rs in $RS_LIST; do
     echo "==== rs = $rs ===="
-    dir=$(printf "data/interacting/n_29_dim_2_rs_%.1f_Theta_0.15_Emax_25_twist_0.250_0.250_nlayers_2_modelsize_16_nheads_4_nhidden_32_depth_2_spsize_16_tpsize_16_Gmax_15_kappa_10_mctherm_10_mcsteps_50_mcstddev_0.10_hutchinson_damping_0.00100_maxnorm_0.00100_batch_2048_ndevices_1_accsteps_4" "$rs")
+    # rs formatted via python str(float) to match main.py's run-dir naming
+    # (rs_0.25 stays 0.25; every 1-decimal value is unchanged)
+    rs_s=$(python3 -c "print(float('$rs'))")
+    dir="data/interacting/n_29_dim_2_rs_${rs_s}_Theta_0.15_Emax_25_twist_0.250_0.250_nlayers_2_modelsize_16_nheads_4_nhidden_32_depth_2_spsize_16_tpsize_16_Gmax_15_kappa_10_mctherm_10_mcsteps_50_mcstddev_0.10_hutchinson_damping_0.00100_maxnorm_0.00100_batch_2048_ndevices_1_accsteps_4"
     finished=0
     if [ -f "$dir/data.txt" ]; then
         # last row's epoch; guard against empty/garbled final lines (a killed
@@ -43,6 +50,12 @@ for rs in $RS_LIST; do
             # resume) and the epoch column would go non-monotone
             awk -v e="$finished" 'NF>0 && $1+0<=e' "$dir/data.txt" > "$dir/data.txt.trim" \
                 && mv "$dir/data.txt.trim" "$dir/data.txt"
+            # sr_diag.txt appends on resume too: same trim (keep '#' tripwire
+            # comment lines), so its epoch column stays monotone for forensics
+            if [ -f "$dir/sr_diag.txt" ]; then
+                awk -v e="$finished" '$1 !~ /^[0-9]/ || $1+0<=e' "$dir/sr_diag.txt" \
+                    > "$dir/sr_diag.txt.trim" && mv "$dir/sr_diag.txt.trim" "$dir/sr_diag.txt"
+            fi
         else
             finished=0
         fi
@@ -50,7 +63,8 @@ for rs in $RS_LIST; do
     python main.py --n 29 --rs "$rs" --Theta 0.15 --Emax 25 \
         --batch 2048 --acc_steps 4 --epoch "$EPOCHS" \
         --epoch_finished "$finished" \
-        --sr --hutchinson --sr_solver "$SR_SOLVER" --tripwire_sigma 6 \
+        --sr --hutchinson --sr_solver "$SR_SOLVER" \
+        --fisher_refresh "$FISHER_REFRESH" --tripwire_sigma 6 \
         --folder data/interacting/
 done
 python -m coulombgas_tpu.analysis.plot data/interacting --S0 --out data/interacting/sweep_S_over_S0.png

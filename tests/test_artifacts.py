@@ -157,28 +157,35 @@ def test_stage2_n29_tail_vs_reference():
 # and both logs still drift at epoch 3000 (the reference's own tail-mean S at
 # rs=1 is 3.7% below its final row), so S gets a relative band.
 SWEEP_MANIFEST = [
-    # (rs, F, E, K, V, S, accept, tol_pp, S_rel)
-    # rs=1.0's E/K/V band is wide by design, not by sloppiness: the
-    # completed 3000-epoch run (2026-08-19) is stationary from epoch ~1500
-    # with tail F = 4.3908 -- EQUAL-OR-LOWER than the reference's 4.4084
-    # (variationally equal-or-better; F_var >= F_true) and 3x smaller
-    # per-epoch MC noise -- but E +0.21 and S +0.39: at weak coupling the
-    # free-energy landscape is nearly flat along the E <-> T*S trade
-    # (Delta_F = Delta_E - T*Delta_S ~ 0 at T ~ 0.57), and the two
-    # optimizers settle at different points on that manifold.  rs=3 tracks
-    # the reference to ~3e-4/particle on E, so the degeneracy is specific
-    # to rs=1.  The one-sided variational check below guards the side that
-    # is physically meaningful.
-    ("1.0", 4.408437, 10.234492, 61.352016, -51.117524, 9.710092, 0.52225, 8e-3, 0.06),
-    ("3.0", -11.230540, -10.698827, 7.137597, -17.836424, 7.975697, 0.492426, 2e-4, 0.06),
-    ("5.0", -8.400460, -8.244273, 2.732840, -10.977112, 6.507795, 0.466365, 2e-4, 0.06),
+    # (rs, F, E, K, V, S, accept, tol_F_pp, tol_EKV_pp, S_rel)
+    # The weak-coupling rows' E/K/V bands are wide BY DESIGN, not by
+    # sloppiness: the completed rs=1.0 3000-epoch run (2026-08-19) is
+    # stationary from epoch ~1500 with tail F = 4.3908 -- EQUAL-OR-LOWER
+    # than the reference's 4.4084 (variationally equal-or-better;
+    # F_var >= F_true) and 3x smaller per-epoch MC noise -- but E +0.21 and
+    # S +0.39: at weak coupling the free-energy landscape is nearly flat
+    # along the E <-> T*S trade (Delta_F = Delta_E - T*Delta_S ~ 0), and
+    # the two optimizers settle at different points on that manifold.  The
+    # effective temperature T = (E-F)/S from the reference tails sets how
+    # far E can wander per unit of S split: T = 9.60 (rs=0.25), 4.13
+    # (rs=0.5), 0.600 (rs=1.0), 0.0666 (rs=3.0) -- so tol_EKV scales with
+    # T * S_band / n while tol_F stays tight.  rs=3 tracks the reference to
+    # ~3e-4/particle on E, confirming the degeneracy is a weak-coupling
+    # property.  The one-sided variational check below guards the side
+    # that is physically meaningful.
+    ("0.25", 677.916668, 788.181727, 985.828856, -197.647129, 11.485944, 0.533894, 8e-3, 0.2, 0.06),
+    ("0.5", 119.352791, 145.090277, 245.268083, -100.177805, 10.723953, 0.529937, 4e-3, 0.1, 0.06),
+    ("1.0", 4.408437, 10.234492, 61.352016, -51.117524, 9.710092, 0.52225, 2e-3, 8e-3, 0.06),
+    ("3.0", -11.230540, -10.698827, 7.137597, -17.836424, 7.975697, 0.492426, 2e-4, 2e-4, 0.06),
+    ("5.0", -8.400460, -8.244273, 2.732840, -10.977112, 6.507795, 0.466365, 2e-4, 2e-4, 0.06),
 ]
 
 
-@pytest.mark.parametrize("rs,Fr,Er,Kr,Vr,Sr,accr,tol_pp,S_rel", SWEEP_MANIFEST,
+@pytest.mark.parametrize("rs,Fr,Er,Kr,Vr,Sr,accr,tol_F_pp,tol_EKV_pp,S_rel",
+                         SWEEP_MANIFEST,
                          ids=["rs" + m[0] for m in SWEEP_MANIFEST])
 def test_stage2_n29_sweep_tail_vs_reference(rs, Fr, Er, Kr, Vr, Sr, accr,
-                                            tol_pp, S_rel):
+                                            tol_F_pp, tol_EKV_pp, S_rel):
     """Each committed rs-sweep log must match the reference tail (final 20%).
 
     Skips while a sweep row has not been run yet (scripts/run_sweep.sh);
@@ -209,10 +216,14 @@ def test_stage2_n29_sweep_tail_vs_reference(rs, Fr, Er, Kr, Vr, Sr, accr,
     # meaningfully above it.  Margin = mutual tail-mean MC error (~1e-3/pp
     # covers the noisiest row, rs=1).
     F = tail[:, 1].mean()
-    assert F <= Fr + 1e-3 * n, (
+    # margin covers the mutual tail-mean MC error, which grows with the
+    # per-epoch F_std at weak coupling (0.22 at rs=0.25 vs 0.0015 at rs=10)
+    margin_pp = max(1e-3, tol_F_pp / 4.0)
+    assert F <= Fr + margin_pp * n, (
         "sweep rs=%s variationally WORSE than reference: F %.6f vs %.6f"
         % (rs, F, Fr))
-    for col, ref, name in [(1, Fr, "F"), (3, Er, "E"), (5, Kr, "K"), (7, Vr, "V")]:
+    for col, ref, tol_pp, name in [(1, Fr, tol_F_pp, "F"), (3, Er, tol_EKV_pp, "E"),
+                                   (5, Kr, tol_EKV_pp, "K"), (7, Vr, tol_EKV_pp, "V")]:
         diff_pp = abs(tail[:, col].mean() - ref) / n
         assert diff_pp <= tol_pp, (
             "sweep rs=%s %s tail mean %.6f vs reference %.6f -> %.1e/particle"

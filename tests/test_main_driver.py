@@ -117,3 +117,22 @@ def test_resume_batch_mismatch_rejected(run):
     with pytest.raises(ValueError, match="walker batch"):
         driver.main(ARGS + ["--folder", run, "--epoch", "100",
                             "--epoch_finished", "99"])
+
+
+def test_host64_fisher_refresh_wiring(tmp_path):
+    """--sr_solver host64 --fisher_refresh K: the stale-Fisher path must run
+    end-to-end through the driver (refresh on epoch 1, cached solves on the
+    others) and produce the standard log format with live SR diagnostics."""
+    folder = str(tmp_path) + "/"
+    driver.main(ARGS + ["--folder", folder, "--epoch", "3",
+                        "--sr_solver", "host64", "--fisher_refresh", "2"])
+    d = _run_dir(folder)
+    data = np.loadtxt(os.path.join(d, "data.txt"), ndmin=2)
+    assert data.shape == (3, 12)
+    assert np.isfinite(data).all()
+    diag = np.loadtxt(os.path.join(d, "sr_diag.txt"), ndmin=2)
+    # all three epochs solved (gnorm finite, scale in (0, 1]) — epochs 2-3
+    # ran against the cached factorization (refresh schedule 1, 3 with K=2)
+    assert diag.shape[0] == 3
+    assert np.isfinite(diag).all()
+    assert (diag[:, 2] > 0).all() and (diag[:, 4] > 0).all()
