@@ -471,8 +471,12 @@ def main(argv=None):
         fisher_cache = (HostFisherCache(args.damping)
                         if args.fisher_refresh > 1 else None)
 
-        _, unravel_van = ravel_pytree(to_host(params_van))
-        _, unravel_flow = ravel_pytree(to_host(params_flow))
+        _flat_van, unravel_van = ravel_pytree(to_host(params_van))
+        _flat_flow, unravel_flow = ravel_pytree(to_host(params_flow))
+        p_van, p_flow = _flat_van.size, _flat_flow.size
+        data_keys = tuple(sorted(
+            init_accumulators(params_van, params_flow, args.sr, rdtype)["data"]
+        ))
 
         @jax.jit
         def apply_host_jit(params_van, params_flow, uv, uf):
@@ -481,15 +485,46 @@ def main(argv=None):
             return pv, pf
 
         @jax.jit
-        def pack_acc_jit(acc):
+        def pack_small_jit(acc):
+            # Concatenate every small accumulator leaf (observables, grads,
+            # scores, mean quantum score — ~200 pytree leaves) into ONE flat
+            # vector on device.  Over the axon tunnel each leaf fetch is a
+            # separate host<->device round trip (~10 ms latency each), so
+            # per-leaf pulls cost ~2.5 s/epoch at n=29 — the dominant host64
+            # overhead after the Fisher cache (round-5 probe; see
+            # optim/host_sr.py cost model).  One transfer amortizes it away.
+            return jnp.concatenate([
+                jnp.stack([acc["data"][k] for k in data_keys]),
+                ravel_pytree(acc["grads"][0])[0],
+                ravel_pytree(acc["grads"][1])[0],
+                ravel_pytree(acc["classical_score"])[0],
+                ravel_pytree(acc["quantum_score"])[0],
+                jnp.ravel(acc["quantum_score_mean"]),
+            ])
+
+        def unpack_small(vec):
+            """Host-side inverse of pack_small_jit: rebuild the acc dict shape
+            host_hybrid_apply expects (its ravel_host flattens single numpy
+            vectors to themselves, so pre-raveled segments drop straight in)."""
+            vec = np.asarray(vec, np.float64)
+            sizes = [len(data_keys), p_van, p_flow, p_van, p_flow, 2 * p_flow]
+            assert vec.size == sum(sizes), (vec.size, sizes)
+            dv, gv, gf, sv, sf, qsm = np.split(vec, np.cumsum(sizes)[:-1])
+            return {
+                "data": dict(zip(data_keys, dv)),
+                "grads": (gv, gf),
+                "classical_score": sv,
+                "quantum_score": sf,
+                "quantum_score_mean": qsm.reshape(2, p_flow),
+            }
+
+        @jax.jit
+        def pack_fishers_jit(acc):
             # Fishers are symmetric: ship only the packed upper triangles —
             # the device->host pull is the host64 step's dominant cost on
             # this link (optim/host_sr.py docstring), and it halves.
-            return dict(
-                acc,
-                classical_fisher=sym_pack(acc["classical_fisher"]),
-                quantum_fisher=sym_pack(acc["quantum_fisher"]),
-            )
+            return (sym_pack(acc["classical_fisher"]),
+                    sym_pack(acc["quantum_fisher"]))
 
         def host64_apply_step(acc, trust_scale, refresh=True):
             """Host-f64 solve, multi-process safe.
@@ -508,27 +543,24 @@ def main(argv=None):
             factorization (optim/host_sr.HostFisherCache).
             """
             stale = fisher_cache is not None and fisher_cache.ready and not refresh
-            if stale:
-                packed = {k: acc[k] for k in acc
-                          if k not in ("classical_fisher", "quantum_fisher")}
-            else:
-                packed = pack_acc_jit(acc)
+            small = pack_small_jit(acc)
+            fishers = None if stale else pack_fishers_jit(acc)
             # Start every device->host copy now, classical Fisher first and
             # quantum Fisher last: host_hybrid_apply fetches in that order,
             # so the quantum block streams over the link (DMA) while LAPACK
             # factors the classical block — on this tunnel that overlap hides
             # most of one Fisher transfer per epoch (optim/host_sr.py).
             try:
-                if "classical_fisher" in packed:
-                    packed["classical_fisher"].copy_to_host_async()
-                for k in sorted(packed):
-                    if k not in ("classical_fisher", "quantum_fisher"):
-                        for leaf in jax.tree.leaves(packed[k]):
-                            leaf.copy_to_host_async()
-                if "quantum_fisher" in packed:
-                    packed["quantum_fisher"].copy_to_host_async()
+                if fishers is not None:
+                    fishers[0].copy_to_host_async()
+                small.copy_to_host_async()
+                if fishers is not None:
+                    fishers[1].copy_to_host_async()
             except Exception:
                 pass  # backends without async D2H: plain blocking fetches
+            packed = unpack_small(small)
+            if fishers is not None:
+                packed["classical_fisher"], packed["quantum_fisher"] = fishers
             uv, uf, d, diag = host_hybrid_apply(
                 packed, args.acc_steps, args.damping,
                 args.max_norm * trust_scale, cache=fisher_cache,
@@ -538,8 +570,11 @@ def main(argv=None):
                 # Fisher went indefinite along the current gradient (fast-
                 # moving early-training metric) — refetch and retry in the
                 # same epoch rather than wasting it on a null update
+                packed = unpack_small(small)
+                packed["classical_fisher"], packed["quantum_fisher"] = \
+                    pack_fishers_jit(acc)
                 uv, uf, d, diag = host_hybrid_apply(
-                    pack_acc_jit(acc), args.acc_steps, args.damping,
+                    packed, args.acc_steps, args.damping,
                     args.max_norm * trust_scale, cache=fisher_cache,
                 )
             if jax.process_count() > 1:
