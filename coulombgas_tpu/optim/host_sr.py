@@ -25,7 +25,7 @@ import numpy as np
 import scipy.linalg as sla
 
 __all__ = ["host_solve_scaled", "host_hybrid_apply", "ravel_host",
-           "sym_pack", "sym_unpack", "HostFisherCache"]
+           "sym_pack", "sym_unpack", "damped_upper", "HostFisherCache"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -50,17 +50,54 @@ def sym_pack(M):
     return jnp.take(flat, _triu_flat_indices(P), axis=-1)
 
 
-def sym_unpack(v, dtype=np.float64):
-    """Host-side inverse of :func:`sym_pack`: rebuild the full symmetric
-    (P, P) matrix from its packed upper triangle."""
-    v = np.asarray(v, dtype)
-    m = v.shape[-1]
+def _packed_dim(m):
     P = int(round((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0))
     assert P * (P + 1) // 2 == m, "not a packed triangle length: %d" % m
-    M = np.zeros(v.shape[:-1] + (P, P), dtype)
-    iu = np.triu_indices(P)
+    return P
+
+
+@functools.lru_cache(maxsize=4)
+def _triu_indices(P):
+    """Cached np.triu_indices(P): the two int64 index arrays are 136 MB each
+    at n=29 (P=5826) — rebuilt per unpack they dominate the unpack cost."""
+    return np.triu_indices(P)
+
+
+def sym_unpack(v, dtype=np.float64):
+    """Host-side inverse of :func:`sym_pack`: rebuild the full symmetric
+    (P, P) matrix from its packed upper triangle.
+
+    The dtype conversion runs as a separate vectorized ``ascontiguousarray``
+    BEFORE the fancy scatter (a converting fancy assignment leaves numpy's
+    fast memcpy-ish path), and the index arrays are cached per P."""
+    v = np.ascontiguousarray(v, dtype)
+    P = _packed_dim(v.shape[-1])
+    M = np.empty(v.shape[:-1] + (P, P), dtype)
+    iu = _triu_indices(P)
     M[..., iu[0], iu[1]] = v
     M[..., iu[1], iu[0]] = v
+    return M
+
+
+def damped_upper(v, divisor, damping, dtype=np.float64):
+    """Packed triangle -> damped UPPER-triangular matrix for a Cholesky.
+
+    Builds (M/divisor + damping·I) with the lower triangle left
+    uninitialized: LAPACK's upper dpotrf (``cho_factor(..., lower=False)``,
+    scipy's default) never reads it, so the symmetric mirror scatter and the
+    full ``damping * eye(P)`` temporary — 271 MB each at n=29, pure memory
+    traffic — are skipped, and the damping lands on the diagonal in O(P).
+    Elementwise math (f64 convert, true divide, +) matches
+    sym_unpack(v)/divisor + damping*eye exactly, so solves through this
+    path are bitwise-identical to the full-matrix path."""
+    v = np.ascontiguousarray(v, dtype)
+    if divisor != 1:
+        v = v / dtype(divisor)
+    P = _packed_dim(v.shape[-1])
+    M = np.empty((P, P), dtype)
+    iu = _triu_indices(P)
+    M[iu[0], iu[1]] = v
+    M[np.diag_indices(P)] += damping
     return M
 
 
@@ -82,18 +119,18 @@ def host_solve_scaled(fisher, grads, damping, max_norm):
     Same semantics as optim.sr._solve_scaled: a non-positive or non-finite
     curvature g^T M^{-1} g means the solve is untrustworthy -> null step.
     """
-    A = np.asarray(fisher, np.float64)
-    damp = damping * np.eye(A.shape[0])
+    A = np.array(fisher, dtype=np.float64)  # owned copy: damped + factored in place
+    A[np.diag_indices(A.shape[0])] += damping
     g = np.asarray(grads, np.float64)
     try:
-        # the damped sum is a per-call temporary: let LAPACK factor it in
-        # place instead of copying the (possibly hundreds-of-MB) matrix again
-        c = sla.cho_factor(A + damp, check_finite=False, overwrite_a=True)
+        c = sla.cho_factor(A, check_finite=False, overwrite_a=True)
         upd = sla.cho_solve(c, g, check_finite=False)
     except Exception:
         # centered quantum Fisher can be (numerically) indefinite; rebuild
         # the damped matrix — the failed in-place factorization clobbered it
-        upd = sla.solve(A + damp, g, check_finite=False)
+        A = np.array(fisher, dtype=np.float64)
+        A[np.diag_indices(A.shape[0])] += damping
+        upd = sla.solve(A, g, check_finite=False)
     return _scale_step(upd, g, max_norm)
 
 
@@ -111,12 +148,22 @@ class HostFisherCache:
 
       * refresh epochs: pull both packed Fishers, Cholesky-factor the damped
         classical block once, keep the raw quantum block;
-      * every epoch: pull only the small leaves (grads, mean scores,
-        observables — ~60 KB), baseline-correct in f64, solve the classical
-        system via the cached factorization, and center the STALE quantum
-        Fisher with the CURRENT mean score (the centering is a per-epoch
-        rank-2 update, so the quantum block — small, P_flow ~ 1e3 — is
-        re-factored each epoch at negligible cost).
+      * every epoch: pull the small leaves (grads, mean scores, observables
+        — ~60 KB) PLUS the packed quantum Fisher (P_flow^2/2 ~ 2 MB at
+        n=29 — small enough to ship fresh), baseline-correct in f64, solve
+        the classical system via the cached factorization, and solve the
+        FRESH quantum block centered with the current mean score.
+
+    Only the classical block is amortized: its cached factor is of
+    (F + damping·I), SPD by construction, so a stale classical solve can
+    never zero-step.  A FROZEN quantum second moment, by contrast, goes
+    indefinite against the moving current mean score (the centering is a
+    subtraction of the CURRENT rank-1 outer product) — in production that
+    zero-stepped and forced a full classical refetch nearly every
+    early-training epoch, i.e. the cache degenerated to fisher_refresh=1
+    plus overhead (round-5 timing forensics: host_solve 11.5 s/epoch).
+    The frozen-quantum path is kept only for accumulators that don't carry
+    a per-epoch 'quantum_fisher' (host_hybrid_apply fallback).
 
     Staleness bias: none at fixed points (an SR step is zero iff the
     gradient is zero for ANY positive-definite metric); between refreshes
@@ -134,13 +181,29 @@ class HostFisherCache:
     def ready(self):
         return self._c_factor is not None
 
-    def refresh(self, classical_fisher, quantum_fisher):
-        """Install fresh (already acc_steps-normalized, f64) Fisher blocks."""
-        cf = np.asarray(classical_fisher, np.float64)
-        cf = cf + self.damping * np.eye(cf.shape[0])
-        # factor in place: cf is a local temporary
-        self._c_factor = sla.cho_factor(cf, check_finite=False, overwrite_a=True)
-        self._qf = np.asarray(quantum_fisher, np.float64)
+    def refresh(self, classical_fisher, quantum_fisher, divisor=1):
+        """Install fresh Fisher blocks (raw acc_steps-sums with ``divisor`` =
+        acc_steps, or already-normalized matrices with the default).
+
+        A packed (1-D) classical block goes through :func:`damped_upper` —
+        upper-triangle-only build, in-place dpotrf — the cheap path the
+        production host64 apply ships."""
+        cf = np.asarray(classical_fisher)
+        if cf.ndim == 1:
+            M = damped_upper(cf, divisor, self.damping)
+        else:
+            M = np.array(cf, np.float64)
+            if divisor != 1:
+                M /= np.float64(divisor)
+            M[np.diag_indices(M.shape[0])] += self.damping
+        # factor in place: M is a local temporary
+        self._c_factor = sla.cho_factor(M, lower=False, check_finite=False,
+                                        overwrite_a=True)
+        qf = np.asarray(quantum_fisher)
+        qf = sym_unpack(qf) if qf.ndim == 1 else np.array(qf, np.float64)
+        if divisor != 1:
+            qf /= np.float64(divisor)
+        self._qf = qf
         self.age = 0
 
     def solve_classical(self, grads, max_norm):
@@ -220,26 +283,54 @@ def host_hybrid_apply(acc_host, acc_steps, damping, max_norm, cache=None):
 
     if cache is not None:
         if "classical_fisher" in acc_host:  # refresh epoch
-            cf = np.asarray(acc_host["classical_fisher"], np.float64)
-            qf = np.asarray(acc_host["quantum_fisher"], np.float64)
-            cache.refresh(
-                (sym_unpack(cf) if cf.ndim == 1 else cf) / acc_steps,
-                (sym_unpack(qf) if qf.ndim == 1 else qf) / acc_steps,
-            )
+            cache.refresh(acc_host["classical_fisher"],
+                          acc_host["quantum_fisher"], divisor=acc_steps)
+            upd_flow, diag_flow = cache.solve_quantum(grad_flow, qsm, max_norm)
         else:
             cache.age += 1
+            if "quantum_fisher" in acc_host:
+                # Fresh quantum block on a stale-classical epoch — the
+                # production host64 path (main.py).  Only the classical Fisher
+                # is big enough to amortize (P_van^2, ~68 MB packed at n=29);
+                # the quantum block (P_flow^2, ~2 MB packed) ships every epoch,
+                # so its centering against the CURRENT mean score is exact and
+                # can never go indefinite from staleness.  The frozen-quantum
+                # fallback below caused a zero-step + full classical refetch
+                # nearly every early-training epoch (round-5 timing forensics:
+                # host_solve 11.5 s/epoch), defeating the cache entirely.
+                qf = np.asarray(acc_host["quantum_fisher"], np.float64)
+                qf = (sym_unpack(qf) if qf.ndim == 1 else qf) / acc_steps
+                qf = qf - np.real(np.conj(qsm)[:, None] * qsm[None, :])
+                upd_flow, diag_flow = host_solve_scaled(
+                    qf, grad_flow, damping, max_norm)
+            else:
+                upd_flow, diag_flow = cache.solve_quantum(grad_flow, qsm, max_norm)
         upd_van, diag_van = cache.solve_classical(grad_van, max_norm)
-        upd_flow, diag_flow = cache.solve_quantum(grad_flow, qsm, max_norm)
         diag = {"gnorm_van": diag_van["gnorm"], "scale_van": diag_van["scale"],
                 "gnorm_flow": diag_flow["gnorm"], "scale_flow": diag_flow["scale"]}
         return upd_van, upd_flow, data, diag
 
     # ---- classical block: fetch, unpack, solve (quantum Fisher in flight) --
-    cf = np.asarray(acc_host["classical_fisher"], np.float64)
+    cf = np.asarray(acc_host["classical_fisher"])
     if cf.ndim == 1:  # packed upper triangle (sym_pack on device)
-        cf = sym_unpack(cf)
-    cf = cf / acc_steps
-    upd_van, diag_van = host_solve_scaled(cf, grad_van, damping, max_norm)
+        # upper-only damped build + in-place upper dpotrf (damped_upper):
+        # skips the mirror scatter and the damping*eye temporary; bitwise-
+        # identical solves to the full-matrix path below
+        M = damped_upper(cf, acc_steps, damping)
+        try:
+            c = sla.cho_factor(M, lower=False, check_finite=False,
+                               overwrite_a=True)
+            upd = sla.cho_solve(c, np.asarray(grad_van, np.float64),
+                                check_finite=False)
+            upd_van, diag_van = _scale_step(upd, grad_van, max_norm)
+        except Exception:
+            # PSD + damping should never fail; rebuild full for the fallback
+            upd_van, diag_van = host_solve_scaled(
+                sym_unpack(cf) / acc_steps, grad_van, damping, max_norm)
+        del M
+    else:
+        upd_van, diag_van = host_solve_scaled(
+            np.asarray(cf, np.float64) / acc_steps, grad_van, damping, max_norm)
     del cf
 
     # ---- quantum block --------------------------------------------------

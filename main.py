@@ -109,6 +109,11 @@ def parse_args(argv=None):
                         help="revert an update when F jumps upward by more than this many "
                              "combined standard errors in one epoch (0 disables); guards "
                              "against rare catastrophic f32 SR steps")
+    parser.add_argument("--timing", action="store_true",
+                        help="print a per-phase wall-clock breakdown every 20 epochs "
+                             "(sample / accumulate / host pulls / solves / applies); "
+                             "inserts block_until_ready fences at phase boundaries, so "
+                             "it defeats async dispatch pipelining — diagnosis only")
 
     # training
     parser.add_argument("--batch", type=int, default=2048,
@@ -461,6 +466,13 @@ def main(argv=None):
             print("---- thermal step %d  accept %.4f  (%.3f s) ----"
                   % (i + 1, float(accept_rate), time.time() - t0))
 
+    # ---- optional phase timing (--timing) -------------------------------------
+    timing_acc: dict = {}
+
+    def _tmark(name, t0):
+        if args.timing:
+            timing_acc[name] = timing_acc.get(name, 0.0) + (time.time() - t0)
+
     # ---- host64 apply path ---------------------------------------------------
     use_host64 = args.sr and args.sr_solver == "host64"
     if use_host64:
@@ -526,6 +538,15 @@ def main(argv=None):
             return (sym_pack(acc["classical_fisher"]),
                     sym_pack(acc["quantum_fisher"]))
 
+        @jax.jit
+        def pack_qf_jit(acc):
+            # quantum Fisher alone: small (P_flow^2/2 ~ 2 MB at n=29), shipped
+            # FRESH every epoch so its centering against the current mean
+            # score is exact — a frozen quantum block goes indefinite along
+            # the moving mean score and forced a full classical refetch nearly
+            # every early-training epoch (round-5 timing forensics)
+            return sym_pack(acc["quantum_fisher"])
+
         def host64_apply_step(acc, trust_scale, refresh=True):
             """Host-f64 solve, multi-process safe.
 
@@ -543,7 +564,13 @@ def main(argv=None):
             factorization (optim/host_sr.HostFisherCache).
             """
             stale = fisher_cache is not None and fisher_cache.ready and not refresh
+            t0 = time.time()
             small = pack_small_jit(acc)
+            # quantum block: fresh EVERY epoch (small); classical block: only
+            # on refresh epochs — it is the one worth amortizing, and its
+            # cached factor is SPD by construction so a stale classical solve
+            # can never zero-step (optim/host_sr.py)
+            qf_packed = pack_qf_jit(acc) if stale else None
             fishers = None if stale else pack_fishers_jit(acc)
             # Start every device->host copy now, classical Fisher first and
             # quantum Fisher last: host_hybrid_apply fetches in that order,
@@ -554,29 +581,32 @@ def main(argv=None):
                 if fishers is not None:
                     fishers[0].copy_to_host_async()
                 small.copy_to_host_async()
+                if qf_packed is not None:
+                    qf_packed.copy_to_host_async()
                 if fishers is not None:
                     fishers[1].copy_to_host_async()
             except Exception:
                 pass  # backends without async D2H: plain blocking fetches
             packed = unpack_small(small)
+            _tmark("pull_small", t0)
             if fishers is not None:
+                if args.timing:
+                    # force the device->host fetch here so the timing report
+                    # splits the link transfer from the LAPACK factorization
+                    t0 = time.time()
+                    fishers = tuple(np.asarray(f) for f in fishers)
+                    _tmark("pull_fisher", t0)
                 packed["classical_fisher"], packed["quantum_fisher"] = fishers
+            else:
+                t0 = time.time()
+                packed["quantum_fisher"] = np.asarray(qf_packed)
+                _tmark("pull_qf", t0)
+            t0 = time.time()
             uv, uf, d, diag = host_hybrid_apply(
                 packed, args.acc_steps, args.damping,
                 args.max_norm * trust_scale, cache=fisher_cache,
             )
-            if stale and (diag["scale_van"] == 0.0 or diag["scale_flow"] == 0.0):
-                # a zero step against the cached metric means the STALE
-                # Fisher went indefinite along the current gradient (fast-
-                # moving early-training metric) — refetch and retry in the
-                # same epoch rather than wasting it on a null update
-                packed = unpack_small(small)
-                packed["classical_fisher"], packed["quantum_fisher"] = \
-                    pack_fishers_jit(acc)
-                uv, uf, d, diag = host_hybrid_apply(
-                    packed, args.acc_steps, args.damping,
-                    args.max_norm * trust_scale, cache=fisher_cache,
-                )
+            _tmark("host_solve", t0)
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
 
@@ -592,8 +622,10 @@ def main(argv=None):
                 uv, uf = payload[:i0], payload[i0:i1]
                 d = dict(zip(dkeys, payload[i1:i1 + len(dkeys)].tolist()))
                 diag = dict(zip(dgkeys, payload[i1 + len(dkeys):].tolist()))
+            t0 = time.time()
             uv_dev = replicate(jnp.asarray(uv, rdtype), mesh)
             uf_dev = replicate(jnp.asarray(uf, rdtype), mesh)
+            _tmark("upload_upd", t0)
             return uv_dev, uf_dev, d, diag
 
     # ---- training loop ---------------------------------------------------------
@@ -621,26 +653,54 @@ def main(argv=None):
 
     tripwire = UpdateTripwire(sigma=args.tripwire_sigma)
 
+    # Zeroing the epoch accumulator is ONE jitted call reusing the previous
+    # epoch's donated buffers: eager init_accumulators dispatches ~200 tiny
+    # zeros ops (one per leaf), each a separate RPC over the axon tunnel —
+    # measured 0.4-0.5 s/epoch of pure dispatch latency (round-5 --timing).
+    zero_acc_jit = jax.jit(
+        lambda a: jax.tree.map(jnp.zeros_like, a), donate_argnums=0)
+    acc = None
+
     for i in range(args.epoch_finished + 1, args.epoch + 1):
+        t0 = time.time()
         tripwire.snapshot((params_van, params_flow, opt_state,
                            jnp.copy(x), key))
-        acc = replicate(init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
+        if acc is None:
+            acc = replicate(
+                init_accumulators(params_van, params_flow, args.sr, rdtype), mesh)
+        else:
+            acc = zero_acc_jit(acc)
+        if args.timing:
+            jax.block_until_ready(acc)
+        _tmark("init_acc", t0)
         # accumulated on device: a host float() here would sync and serialize
         # the sample/accumulate dispatch pipeline every acc step
         accept_rate_acc = jnp.zeros((), rdtype)
         for _ in range(args.acc_steps):
             key, k_sample, k_update = jax.random.split(key, 3)
+            t0 = time.time()
             state_indices, x, accept_rate = sample_jit(params_van, params_flow, x, k_sample)
+            if args.timing:
+                jax.block_until_ready(x)
+            _tmark("sample", t0)
             accept_rate_acc = accept_rate_acc + accept_rate
+            t0 = time.time()
             acc = accumulate_jit(params_van, params_flow, state_indices, x, k_update, acc)
+            if args.timing:
+                jax.block_until_ready(acc)
+            _tmark("accumulate", t0)
         if use_host64:
             uv_dev, uf_dev, d, diag = host64_apply_step(
                 acc, tripwire.trust_scale,
                 refresh=(i - 1) % args.fisher_refresh == 0,
             )
+            t0 = time.time()
             params_van, params_flow = apply_host_jit(
                 params_van, params_flow, uv_dev, uf_dev,
             )
+            if args.timing:
+                jax.block_until_ready(params_van)
+            _tmark("device_apply", t0)
         else:
             # trust_scale is a traced scalar: tripwire escalation applies to
             # the on-device SR trust radius too, without recompiling.
@@ -714,6 +774,14 @@ def main(argv=None):
                 d["S_mean"], stderr_from_moments(d["S_mean"], d["S2_mean"], total_batch),
                 accept_rate_acc / args.acc_steps,
             )
+
+        if args.timing and (i - args.epoch_finished) % 20 == 0 and timing_acc:
+            acct = sum(timing_acc.values())
+            nts = sorted(timing_acc.items(), key=lambda kv: -kv[1])
+            print("TIMING .. %d: " % i
+                  + "  ".join("%s %.3f" % (k, v / 20.0) for k, v in nts)
+                  + "  | accounted %.3f s/epoch" % (acct / 20.0))
+            timing_acc.clear()
 
         if i % args.ckpt_every == 0:
             # to_host is a cross-process collective for non-addressable

@@ -117,6 +117,37 @@ def test_zero_step_guard_on_indefinite_stale_center():
     assert np.all(uf == 0.0)
 
 
+def test_stale_epoch_with_fresh_quantum_fisher():
+    """Production path (main.py host64): stale epochs still carry a FRESH
+    quantum_fisher — the quantum solve must use it (exactly plain host64 on
+    the quantum block) while the classical solve stays on the cached factor."""
+    acc_a = _acc(9)
+    acc_b = _acc(10, with_fishers=True)
+    del acc_b["classical_fisher"]  # stale-classical, fresh-quantum epoch
+
+    cache = HostFisherCache(1e-3)
+    host_hybrid_apply(acc_a, K, 1e-3, 1e-3, cache=cache)
+    uv, uf, d, diag = host_hybrid_apply(acc_b, K, 1e-3, 1e-3, cache=cache)
+    assert cache.age == 1
+
+    # classical: matches A's Fisher spliced in; quantum: matches B's own
+    acc_mixed = dict(acc_b, classical_fisher=_acc(9)["classical_fisher"])
+    uv0, uf0, d0, _ = host_hybrid_apply(acc_mixed, K, 1e-3, 1e-3)
+    np.testing.assert_allclose(uv, uv0, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(uf, uf0, rtol=0, atol=1e-13)
+    assert d == d0
+
+    # and the packed (sym_pack) quantum layout must solve identically
+    import jax.numpy as jnp
+
+    cache2 = HostFisherCache(1e-3)
+    host_hybrid_apply(acc_a, K, 1e-3, 1e-3, cache=cache2)
+    acc_bp = dict(acc_b, quantum_fisher=np.asarray(
+        sym_pack(jnp.asarray(acc_b["quantum_fisher"]))))
+    _, uf_p, _, _ = host_hybrid_apply(acc_bp, K, 1e-3, 1e-3, cache=cache2)
+    np.testing.assert_allclose(uf_p, uf, rtol=0, atol=1e-13)
+
+
 def test_sym_pack_roundtrip_through_cache():
     M = np.random.RandomState(8).randn(9, 9)
     M = np.float32(M + M.T)
@@ -124,3 +155,21 @@ def test_sym_pack_roundtrip_through_cache():
 
     np.testing.assert_array_equal(sym_unpack(np.asarray(sym_pack(jnp.asarray(M)))),
                                   np.float64(M))
+
+
+def test_damped_upper_matches_full_build_bitwise():
+    """The upper-only fast path must equal sym_unpack(v)/K + damping*eye on
+    the triangle the Cholesky reads — bitwise, so host64 results are
+    independent of which build path ran."""
+    from coulombgas_tpu.optim.host_sr import damped_upper
+
+    rng = np.random.RandomState(11)
+    P, K, damping = 37, 3, 1e-3
+    A = rng.randn(P, P).astype(np.float32)
+    A = A + A.T
+    iu = np.triu_indices(P)
+    v = A[iu[0], iu[1]]
+
+    ref = sym_unpack(v) / K + damping * np.eye(P)
+    fast = damped_upper(v, K, damping)
+    np.testing.assert_array_equal(fast[iu[0], iu[1]], ref[iu[0], iu[1]])
