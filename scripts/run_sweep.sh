@@ -22,7 +22,13 @@ EPOCHS=${1:-3000}
 # blocks every K epochs and solves against the cached f64 factorization
 # (KFAC-style stale metric; optim/host_sr.HostFisherCache).
 SR_SOLVER=${SR_SOLVER:-host64}
-FISHER_REFRESH=${FISHER_REFRESH:-16}
+# K=32: steady epochs are 2.5 s and a refresh epoch ~18-23 s (single-core
+# f64 dpotrf of the 5826^2 block + 68 MB D2H — PERF.md round-5 timing
+# forensics), so K=32 amortizes to ~3.1 s/epoch; the 32-epoch-stale metric
+# stays well inside the Fisher's own MC noise (the small quantum block
+# ships fresh every epoch since round 5, so only the SPD classical factor
+# is ever stale).
+FISHER_REFRESH=${FISHER_REFRESH:-32}
 shift || true
 RS_LIST=${@:-"1.0 3.0 5.0"}
 for rs in $RS_LIST; do
