@@ -174,3 +174,27 @@ def test_grad_laplacian_batched_kernel_path():
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(np.asarray(l_ker), np.asarray(l_ref),
                                rtol=0, atol=5e-2)
+
+
+def test_d2_kernel_hw_ceiling_guard():
+    """Compiled (non-interpret) d2 kernel refuses n above the chip-validated
+    ceiling with a clear error instead of an opaque toolchain crash.
+
+    The round-4 chip probes showed the grid-accumulation d2 pipeline
+    hard-crashes the TPU compile helper at n >= 49 (PERF.md round 4), so
+    flow_u_jac_pallas_d2 must raise before tracing ever reaches Mosaic.
+    Interpret mode keeps the full MAX_FLOW_N_D2 for correctness tests.
+    """
+    from coulombgas_tpu.ops.pallas_flow_jac import (
+        MAX_FLOW_N_D2, MAX_FLOW_N_D2_HW, flow_u_jac_pallas_d2)
+
+    n = MAX_FLOW_N_D2_HW + 1
+    assert n <= MAX_FLOW_N_D2
+    L, dim = 3.21, 2
+    cfg = cg.FermiNetConfig(2, 8, 8, L)
+    params = cg.init_ferminet_params(jax.random.PRNGKey(0), cfg, dim,
+                                     jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, n, dim), jnp.float32,
+                           0.0, L)
+    with pytest.raises(ValueError, match="chip-validated"):
+        flow_u_jac_pallas_d2(params, cfg, x, interpret=False)
