@@ -105,6 +105,12 @@ def parse_args(argv=None):
                              "the O(P^2) matrices over the device->host link every epoch; "
                              "gradients, mean scores and trust-region logic stay per-epoch "
                              "and all solve math stays f64.  1 = plain host64")
+    parser.add_argument("--hang_timeout", type=float, default=0.0,
+                        help="hard-exit with code 42 if no epoch completes for this many "
+                             "seconds (0 disables) — fail-fast detection for a wedged "
+                             "device RPC on the tunneled TPU pool, so a checkpoint-resume "
+                             "wrapper can relaunch (utils/watchdog.py; the first interval "
+                             "gets a 4x grace for the jit compile chain)")
     parser.add_argument("--tripwire_sigma", type=float, default=15.0,
                         help="revert an update when F jumps upward by more than this many "
                              "combined standard errors in one epoch (0 disables); guards "
@@ -652,6 +658,11 @@ def main(argv=None):
     from coulombgas_tpu.train.tripwire import UpdateTripwire
 
     tripwire = UpdateTripwire(sigma=args.tripwire_sigma)
+    from coulombgas_tpu.utils.watchdog import StepWatchdog
+    watchdog = StepWatchdog(
+        args.hang_timeout,
+        context="n=%d rs=%g epoch>%d" % (n, args.rs, args.epoch_finished),
+    ).start()
 
     # Zeroing the epoch accumulator is ONE jitted call reusing the previous
     # epoch's donated buffers: eager init_accumulators dispatches ~200 tiny
@@ -662,6 +673,9 @@ def main(argv=None):
     acc = None
 
     for i in range(args.epoch_finished + 1, args.epoch + 1):
+        # the heartbeat is at the TOP of the loop: it certifies the previous
+        # epoch's device round-trips (sample/accumulate/apply/pull) resolved
+        watchdog.beat()
         t0 = time.time()
         tripwire.snapshot((params_van, params_flow, opt_state,
                            jnp.copy(x), key))
@@ -797,6 +811,7 @@ def main(argv=None):
                 save_data(ckpt, fname)
                 print("Save checkpoint file:", fname)
 
+    watchdog.stop()
     if log is not None:
         log.close()
 

@@ -66,11 +66,37 @@ for rs in $RS_LIST; do
             finished=0
         fi
     fi
-    python main.py --n 29 --rs "$rs" --Theta 0.15 --Emax 25 \
-        --batch 2048 --acc_steps 4 --epoch "$EPOCHS" \
-        --epoch_finished "$finished" \
-        --sr --hutchinson --sr_solver "$SR_SOLVER" \
-        --fisher_refresh "$FISHER_REFRESH" --tripwire_sigma 6 \
-        --folder data/interacting/
+    # Retry loop for exit code 42: the step watchdog's reserved "device RPC
+    # wedged" signal (utils/watchdog.py, round-5 pool stall).  Each retry
+    # resumes from the newest epoch checkpoint; anything else aborts as
+    # before (set -e).
+    attempt=0
+    while :; do
+        rc=0
+        python main.py --n 29 --rs "$rs" --Theta 0.15 --Emax 25 \
+            --batch 2048 --acc_steps 4 --epoch "$EPOCHS" \
+            --epoch_finished "$finished" \
+            --sr --hutchinson --sr_solver "$SR_SOLVER" \
+            --fisher_refresh "$FISHER_REFRESH" --tripwire_sigma 6 \
+            --hang_timeout 600 \
+            --folder data/interacting/ || rc=$?
+        [ "$rc" -eq 0 ] && break
+        attempt=$((attempt + 1))
+        if [ "$rc" -ne 42 ] || [ "$attempt" -gt 3 ]; then
+            echo "rs=$rs failed rc=$rc (attempt $attempt)"; exit "$rc"
+        fi
+        echo "rs=$rs hang detected (rc=42) — resuming from newest checkpoint (attempt $attempt)"
+        ckpt=$(ls "$dir"/epoch_*.pkl 2>/dev/null | sort | tail -1)
+        finished=0
+        if [ -n "$ckpt" ]; then
+            finished=$(basename "$ckpt" | sed 's/epoch_0*\([0-9]*\)\.pkl/\1/')
+            awk -v e="$finished" 'NF>0 && $1+0<=e' "$dir/data.txt" > "$dir/data.txt.trim" \
+                && mv "$dir/data.txt.trim" "$dir/data.txt"
+            if [ -f "$dir/sr_diag.txt" ]; then
+                awk -v e="$finished" '$1 !~ /^[0-9]/ || $1+0<=e' "$dir/sr_diag.txt" \
+                    > "$dir/sr_diag.txt.trim" && mv "$dir/sr_diag.txt.trim" "$dir/sr_diag.txt"
+            fi
+        fi
+    done
 done
 python -m coulombgas_tpu.analysis.plot data/interacting --S0 --out data/interacting/sweep_S_over_S0.png
